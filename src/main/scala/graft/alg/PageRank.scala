@@ -1,0 +1,126 @@
+package graft.alg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{Adjacency, Graph, StepResult, Superstep}
+
+/**
+ * PageRank with the reference's exact semantics
+ * (`/root/reference/src/alg/totem_page_rank.cu:351-409`):
+ *
+ *  - init: stored rank = 1/V for every vertex;
+ *  - each round r=1..R: mailbox(v) = Σ_{u→v} stored(u); then
+ *    value(v) = (1-d)/V + d·mailbox(v); the STORED rank for the next round
+ *    is value/outdeg(v) — except the final round, which stores the
+ *    undivided value. Round 1 therefore sums undivided 1/V (the reference's
+ *    deliberate quirk). No dangling-mass redistribution.
+ *  - damping d = 0.85 (`totem_alg.h:70`), R = 5 (`PAGE_RANK_ROUNDS`,
+ *    `totem_alg.h:60`).
+ *  - zero-out-degree vertices: the reference divides by 0 (→ inf) but the
+ *    value is never read (no out-edges) and the final round overwrites it;
+ *    here the division is simply skipped — identical observable results.
+ *
+ * Plan shape (per superstep, O(V) shuffle — the edge side stays put):
+ *   adjacency (chunked, persisted, hash-partitioned by src)
+ *     ⋈ state(vid, stored)          — only the small state side shuffles
+ *     → explode(nbrs) → groupBy(dst).sum(stored)   — partial agg map-side,
+ *       Totem's outbox combiner (`totem_engine_internal.cuh:70-183`) for free
+ *     → left join vertices → damping update.
+ */
+object PageRank {
+
+  final case class Result(ranks: DataFrame, metrics: Seq[graft.core.StepMetrics])
+
+  def run(edges: DataFrame,
+          rounds: Int = 5,
+          damping: Double = 0.85,
+          checkpointDir: Option[String] = None,
+          resume: Boolean = false,
+          chunkSize: Int = Adjacency.DefaultChunk,
+          verbose: Boolean = false): Result = {
+    val spark = edges.sparkSession
+    val adj = Adjacency.build(edges, chunkSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verts.count()
+    val e = edges.count()
+    val base = (1.0 - damping) / v
+
+    // deg per vertex for the pre-division (0 for pure sinks)
+    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
+      .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val init = verts.select(col(Graph.VID), lit(1.0 / v).as("stored"))
+
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = rounds, checkpointDir = checkpointDir,
+        resume = resume, verbose = verbose)) { (state, superstep) =>
+      val msgs = adj.join(state, adj(Graph.SRC) === state(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID), col("stored"))
+        .groupBy(Graph.VID)
+        .agg(sum("stored").as("mbox"))
+      val updated = degs
+        .join(msgs, Seq(Graph.VID), "left")
+        .select(col(Graph.VID), col("deg"),
+          (lit(base) + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
+      val next =
+        if (superstep == rounds)
+          updated.select(col(Graph.VID), col("value").as("stored"))
+        else
+          updated.select(col(Graph.VID),
+            when(col("deg") > 0, col("value") / col("deg"))
+              .otherwise(col("value")).as("stored"))
+      StepResult(next, edgesTraversed = e, converged = superstep == rounds)
+    }
+
+    adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    Result(outcome.state.select(col(Graph.VID), col("stored").as("rank")), outcome.metrics)
+  }
+
+  /**
+   * Convergence mode (north rule's "iterations-to-convergence"): same update
+   * rule but iterate until L∞(new-old) < tol on the UNDIVIDED values.
+   * Returns (ranks, iterations, metrics).
+   */
+  def runUntilConverged(edges: DataFrame,
+                        tol: Double = 1e-6,
+                        damping: Double = 0.85,
+                        maxIter: Int = 100,
+                        checkpointDir: Option[String] = None,
+                        verbose: Boolean = false): Result = {
+    val spark = edges.sparkSession
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verts.count(); val e = edges.count()
+    val base = (1.0 - damping) / v
+    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
+      .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // state carries both the stored (pre-divided) rank and the display value
+    val init = verts.select(col(Graph.VID), lit(1.0 / v).as("stored"), lit(1.0 / v).as("value"))
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = maxIter, checkpointDir = checkpointDir,
+        verbose = verbose)) { (state, _) =>
+      val msgs = adj.join(state, adj(Graph.SRC) === state(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID), col("stored"))
+        .groupBy(Graph.VID).agg(sum("stored").as("mbox"))
+      val joined = degs
+        .join(msgs, Seq(Graph.VID), "left")
+        .join(state.select(col(Graph.VID), col("value").as("old")), Seq(Graph.VID), "left")
+        .select(col(Graph.VID), col("deg"), col("old"),
+          (lit(base) + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
+      val delta = joined.agg(max(abs(col("value") - col("old")))).collect()(0).getDouble(0)
+      val next = joined.select(col(Graph.VID),
+        when(col("deg") > 0, col("value") / col("deg")).otherwise(col("value")).as("stored"),
+        col("value"))
+      StepResult(next, edgesTraversed = e, converged = delta < tol)
+    }
+    adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    Result(outcome.state.select(col(Graph.VID), col("value").as("rank")), outcome.metrics)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.alg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{Adjacency, Graph, StepResult, Superstep}
+
+/**
+ * Frontier-based traversals: BFS levels, Graph500 BFS parent tree, SSSP,
+ * st-connectivity — the reference's level-synchronous family
+ * (`/root/reference/src/alg/totem_bfs.cu:292-715`,
+ * `totem_graph500.cu:50-110`, `totem_sssp.cu:371-420`,
+ * st-con decl `totem_alg.h:281-285`).
+ *
+ * The frontier is a Dataset of active vertices (the reference's sparse
+ * frontier, `totem_alg.h:361-377`); visited-set membership is an anti-join
+ * (the reference's bitmap). Unreached vertices are absent from the output —
+ * the relational form of the INF_COST sentinel (`totem_alg.h:21-22`).
+ */
+object Traversals {
+
+  final case class Result(state: DataFrame, metrics: Seq[graft.core.StepMetrics])
+
+  /** BFS levels from `source`: returns (vid, cost) for reached vertices. */
+  def bfs(edges: DataFrame, source: Long,
+          checkpointDir: Option[String] = None,
+          verbose: Boolean = false): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val degs = Graph.outDegrees(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // state: (vid, cost, frontier)
+    val init = Seq((source, 0, true)).toDF(Graph.VID, "cost", "frontier")
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = 10000, checkpointDir = checkpointDir,
+        verbose = verbose)) { (state, level) =>
+      val frontier = state.filter(col("frontier"))
+      val trv = frontier.join(degs, Seq(Graph.VID), "left")
+        .agg(sum(coalesce(col("deg"), lit(0L)))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      val nbrs = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID)).distinct()
+      val discovered = nbrs
+        .join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
+        .select(col(Graph.VID), lit(level).cast("int").as("cost"), lit(true).as("frontier"))
+      val next = state.withColumn("frontier", lit(false)).unionByName(discovered)
+      StepResult(next, trv, converged = discovered.isEmpty)
+    }
+    adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    Result(outcome.state.select(col(Graph.VID), col("cost")), outcome.metrics)
+  }
+
+  /** Graph500-style BFS parent tree: (vid, parent); the source's parent is
+   * itself (`totem_graph500.cu:50-110`). The reference keeps whichever parent
+   * wins the atomic race; here min(parent) for determinism. */
+  def bfsTree(edges: DataFrame, source: Long,
+              checkpointDir: Option[String] = None): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val init = Seq((source, source, true)).toDF(Graph.VID, "parent", "frontier")
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = 10000, checkpointDir = checkpointDir)) { (state, _) =>
+      val frontier = state.filter(col("frontier"))
+      val cand = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID), adj(Graph.SRC).as("parent"))
+        .groupBy(Graph.VID).agg(min("parent").as("parent"))
+      val discovered = cand
+        .join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
+        .withColumn("frontier", lit(true))
+      val next = state.withColumn("frontier", lit(false)).unionByName(discovered)
+      StepResult(next, 0L, converged = discovered.isEmpty)
+    }
+    adj.unpersist(blocking = false)
+    Result(outcome.state.select(col(Graph.VID), col("parent")), outcome.metrics)
+  }
+
+  /**
+   * Single-source shortest paths, Bellman-Ford-style delta relaxation —
+   * `sssp_cpu` (`totem_sssp.cu:371-420`): relax active vertices' out-edges,
+   * keep min(dist), re-activate improved vertices, stop when stable.
+   * `edges` needs (src, dst, weight). Returns (vid, dist) for reached.
+   */
+  def sssp(edges: DataFrame, source: Long,
+           checkpointDir: Option[String] = None,
+           maxSupersteps: Int = 10000,
+           verbose: Boolean = false): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(Graph.SRC), col(Graph.DST), col("weight").cast("double"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = Seq((source, 0.0, true)).toDF(Graph.VID, "dist", "changed")
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = maxSupersteps, checkpointDir = checkpointDir,
+        verbose = verbose)) { (state, _) =>
+      val delta = state.filter(col("changed"))
+      val relax = e.join(delta, e(Graph.SRC) === delta(Graph.VID))
+        .select(col(Graph.DST).as(Graph.VID), (col("dist") + col("weight")).as("nd"))
+        .groupBy(Graph.VID).agg(min("nd").as("nd"))
+      val joined = state.select(col(Graph.VID), col("dist"))
+        .join(relax, Seq(Graph.VID), "full")
+      val next = joined.select(
+        col(Graph.VID),
+        least(coalesce(col("dist"), lit(Double.MaxValue)),
+          coalesce(col("nd"), lit(Double.MaxValue))).as("dist"),
+        (col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))).as("changed"))
+      StepResult(next, 0L, converged = next.filter(col("changed")).isEmpty)
+    }
+    e.unpersist(blocking = false)
+    Result(outcome.state.select(col(Graph.VID), col("dist")), outcome.metrics)
+  }
+
+  /** st-connectivity: BFS from src with early exit once dst is reached
+   * (`totem_alg.h:281-285`). */
+  def stConnected(edges: DataFrame, s: Long, t: Long): Boolean = {
+    if (s == t) return true
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = Seq(s).toDF(Graph.VID).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var found = false
+    var exhausted = false
+    while (!found && !exhausted) {
+      val nbrs = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID)).distinct()
+      val discovered = nbrs.join(visited, Seq(Graph.VID), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+      found = !discovered.filter(col(Graph.VID) === t).isEmpty
+      exhausted = discovered.isEmpty
+      visited = visited.unionByName(discovered)
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+      frontier = discovered
+    }
+    adj.unpersist(blocking = false)
+    found
+  }
+
+  /** Closeness centrality for a set of source vertices, exact per source:
+   * closeness(s) = (reached-1) / Σ dist (`totem_closeness.cu:206`; the
+   * reference's unweighted variant). Returns (vid, closeness). */
+  def closeness(edges: DataFrame, sources: Seq[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = sources.map { s =>
+      val levels = bfs(edges, s).state
+      val agg = levels.agg(sum(col("cost")).as("sd"), count(lit(1)).as("n")).collect()(0)
+      val sd = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val n = agg.getLong(1)
+      (s, if (sd > 0) (n - 1).toDouble / sd else 0.0)
+    }
+    rows.toDF(Graph.VID, "closeness")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ *  - [[cosine]]: codegen'd zip_with/aggregate dot product — no UDF;
+ *  - [[bruteForceTopK]]: exact top-k, broadcast the (small) query side so
+ *    the corpus is scanned exactly once, no shuffle of the big side;
+ *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by sign signature,
+ *    queries probe their own bucket (+ optional multi-probe at Hamming
+ *    distance 1), top-k within probed buckets. The scale path: bucket count
+ *    grows 2^planes, each query touches O(corpus / 2^planes · probes) rows.
+ *
+ * Embedding near-dup (cosine ≥ τ pair mining) reuses the same plane
+ * signatures as the bucket join — [[cosineNearDupPairs]].
+ */
+object Ann {
+
+  /** Cosine similarity of two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact cosine top-k per query: (query_id, vec_id, sim, rank).
+   * Queries are broadcast; ties break on corpus id for determinism.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     id: String = "vec_id", vec: String = "embedding",
+                     qid: String = "query_id", qvec: String = "q_embedding"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .select(col(qid), col(id),
+        round(cosine(col(qvec), col(vec)), 9).as("sim"))
+    val w = Window.partitionBy(qid).orderBy(col("sim").desc, col(id))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplane component: pseudo-gaussian from 4
+   * averaged uniforms derived from xxhash64(plane, dim). */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val parts = (0 until 4).map { j =>
+      (pmod(xxhash64(lit(plane), dim, lit(j)), lit(100000L)).cast("double") / 50000.0) - 1.0
+    }
+    parts.reduce(_ + _) / 2.0
+  }
+
+  /** Sign signature over `planes` hyperplanes: long bucket key. */
+  def planeSignature(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /**
+   * LSH-bucketed approximate top-k. `multiProbe`: also probe the buckets at
+   * Hamming distance 1 from the query signature (flip each plane bit) —
+   * recall knob without rebucketing the corpus.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              multiProbe: Boolean = true,
+              id: String = "vec_id", vec: String = "embedding",
+              qid: String = "query_id", qvec: String = "q_embedding"): DataFrame = {
+    val c = corpus.withColumn("bkey", planeSignature(col(vec), planes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qsig = queries.withColumn("sig", planeSignature(col(qvec), planes))
+    val probes =
+      if (!multiProbe) qsig.withColumn("bkey", col("sig"))
+      else qsig.select(col("*"), explode(array(
+        (col("sig") +: (0 until planes).map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*))
+        .as("bkey"))
+    val scored = probes.join(c, "bkey")
+      .select(col(qid), col(id), round(cosine(col(qvec), col(vec)), 9).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(qid).orderBy(col("sim").desc, col(id))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
+   * shared plane-signature buckets (+1-bit multiprobe for recall). */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
+                         id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val sig = corpus.withColumn("sig", planeSignature(col(vec), planes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val expanded = sig.select(col(id), col(vec), explode(array(
+      (col("sig") +: (0 until planes).map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*))
+      .as("bkey"))
+    val base = sig.withColumnRenamed("sig", "bkey")
+    expanded.select(col("bkey"), col(id).as("id_a"), col(vec).as("va"))
+      .join(base.select(col("bkey"), col(id).as("id_b"), col(vec).as("vb")), "bkey")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 9).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold — O(n²) baseline for tests/oracles. */
+  def bruteForceNearDupPairs(corpus: DataFrame, threshold: Double,
+                             id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    corpus.select(col(id).as("id_a"), col(vec).as("va"))
+      .join(corpus.select(col(id).as("id_b"), col(vec).as("vb")), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 9).as("sim"))
+      .filter(col("sim") >= threshold)
+}

@@ -1,0 +1,147 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Core graph-table schemas and transformations.
+ *
+ * The engine's fundamental representation is an edge table
+ * `edges(src: Long, dst: Long[, weight: Double])` — the Spark-native analog
+ * of the reference CSR (`/root/reference/src/totem/totem_graph.h:127-170`).
+ * CSR itself is never materialized as flat arrays; the grouped/chunked
+ * adjacency Dataset (see [[Adjacency]]) plays that role where an algorithm
+ * benefits from pre-grouped neighbor lists.
+ *
+ * All ids are Long end-to-end (reference `vid_t` is uint32 —
+ * `totem_graph.h:64` — too narrow for the 10^12-document target).
+ */
+object Graph {
+
+  val SRC = "src"
+  val DST = "dst"
+  val VID = "vid"
+
+  /** Both edge directions, duplicates removed — the analog of the generator's
+   * `alter_undirected_handler` (`totem_generator.cc:631-680`). */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select(col(SRC), col(DST))
+      .union(edges.select(col(DST).as(SRC), col(SRC).as(DST)))
+      .distinct()
+
+  /** Both directions, **keeping** multiplicity (for algorithms whose
+   * reference semantics count parallel edges, e.g. PageRank/LabelRank over a
+   * stored-both-directions CSR). */
+  def symmetrized(edges: DataFrame): DataFrame =
+    edges.select(col(SRC), col(DST))
+      .union(edges.select(col(DST).as(SRC), col(SRC).as(DST)))
+
+  /** Swap src/dst — `alter_reverse_handler` (`totem_generator.cc:594-628`). */
+  def reverse(edges: DataFrame): DataFrame =
+    edges.select(col(DST).as(SRC), col(SRC).as(DST))
+
+  /** Distinct vertex ids appearing at either endpoint. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col(SRC).as(VID)).union(edges.select(col(DST).as(VID))).distinct()
+
+  /** Out-degree per vertex counting edge multiplicity (CSR row length,
+   * `vertices[v+1]-vertices[v]`). Vertices with no out-edges are absent —
+   * callers left-join and coalesce to 0. */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col(SRC).as(VID)).agg(count(lit(1)).as("deg"))
+
+  def inDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col(DST).as(VID)).agg(count(lit(1)).as("deg"))
+
+  /** Degree distribution histogram — `generator_degree_distribution`
+   * (`totem_generator.cc:520-570`). */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    outDegrees(edges).groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+
+  /** Drop vertices with no in- and no out-edges — `graph_remove_singletons`
+   * (`totem_graph.cu:468-485`). On an edge table every endpoint has degree,
+   * so this operates on a vertex table. */
+  def removeSingletons(vertexDf: DataFrame, edges: DataFrame): DataFrame =
+    vertexDf.join(vertices(edges), vertexDf(VID) === vertices(edges)(VID), "left_semi")
+
+  /** Induced subgraph on a kept-vertex set — `get_subgraph`
+   * (`totem_graph.cu:409-466`). `kept` must have a `vid` column. */
+  def subgraph(edges: DataFrame, kept: DataFrame): DataFrame = {
+    val k = kept.select(col(VID)).distinct()
+    edges
+      .join(k.withColumnRenamed(VID, "__ks"), col(SRC) === col("__ks"), "left_semi")
+      .join(k.withColumnRenamed(VID, "__kd"), col(DST) === col("__kd"), "left_semi")
+  }
+
+  /** Deterministic vertex relabeling (random-looking but seeded) —
+   * `permute_edgelist` (`totem_generator.cc:143-159`). New ids are dense
+   * 0..V-1 assigned by hash order. */
+  def permute(edges: DataFrame, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vs = vertices(edges)
+    val mapping = vs.withColumn(
+      "nid",
+      row_number().over(Window.orderBy(xxhash64(col(VID), lit(seed)), col(VID))).cast("long") - 1L)
+    edges
+      .join(mapping.select(col(VID).as("__v1"), col("nid").as("__n1")), col(SRC) === col("__v1"))
+      .join(mapping.select(col(VID).as("__v2"), col("nid").as("__n2")), col(DST) === col("__v2"))
+      .select(col("__n1").as(SRC), col("__n2").as(DST))
+  }
+
+  /** Analyze-summary analog (`totem_generator.cc:497-518`): one-row DataFrame
+   * of structural counts used as sanity assertions. */
+  def summary(edges: DataFrame): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val v = vertices(e).count()
+    val ecnt = e.count()
+    val selfLoops = e.filter(col(SRC) === col(DST)).count()
+    val dup = ecnt - e.distinct().count()
+    val maxDeg = outDegrees(e).agg(max("deg")).collect()(0).getLong(0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val out = Seq((v, ecnt, selfLoops, dup, maxDeg))
+      .toDF("n_vertices", "n_edges", "self_loops", "duplicate_edges", "max_out_degree")
+    e.unpersist()
+    out
+  }
+}
+
+/**
+ * Chunked grouped adjacency — the Spark-native CSR partition
+ * (`partition_set_initialize` building per-partition CSR,
+ * `/root/reference/src/totem/totem_partition.cu:492-541`).
+ *
+ * Rows: (src, deg, nbrs) where `deg` is the vertex's TOTAL out-degree and
+ * `nbrs` one chunk of ≤ `chunkSize` neighbors. Hub vertices span multiple
+ * rows — this is the degree-aware skew split (the analog of Totem's
+ * vwarp/degree-sectioned kernels, `totem_page_rank_incoming_hybrid.cu:316-341`):
+ * no single task ever owns a super-hub's full neighbor list, so the
+ * state⋈adjacency join and the subsequent explode stay balanced at any skew.
+ */
+object Adjacency {
+  final val DefaultChunk = 4096
+
+  def build(edges: DataFrame, chunkSize: Int = DefaultChunk): DataFrame = {
+    // Salt = which chunk a neighbor lands in; deterministic via per-src
+    // neighbor sequence would need a window (full sort). Hash-based chunk
+    // assignment is order-free and balanced: chunk = xxhash64(src,dst,pos?) —
+    // but duplicates must be preserved, so salt on a per-row basis with
+    // monotonically varying input: use xxhash64 of (src, dst) which keeps
+    // duplicates of the same (src,dst) in the SAME chunk (fine: dup count
+    // per pair is tiny) while spreading distinct neighbors uniformly.
+    val withDeg = edges
+      .join(Graph.outDegrees(edges).withColumnRenamed(Graph.VID, "__dv"),
+        col(Graph.SRC) === col("__dv"))
+      .drop("__dv")
+    val chunked = withDeg.withColumn(
+      "chunk",
+      when(col("deg") <= chunkSize, lit(0L))
+        .otherwise(pmod(xxhash64(col(Graph.SRC), col(Graph.DST)),
+          ceil(col("deg") / chunkSize).cast("long"))))
+    chunked
+      .groupBy(col(Graph.SRC), col("chunk"))
+      .agg(first("deg").as("deg"), collect_list(col(Graph.DST)).as("nbrs"))
+      .drop("chunk")
+  }
+}

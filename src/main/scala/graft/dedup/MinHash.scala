@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.text.TextAnalysis
+
+/**
+ * MinHash + LSH near-duplicate detection:
+ * shingle → k minhashes → b bands of r rows → band-bucket join → verify.
+ *
+ * Two hash families:
+ *  - [[signatures]]: xxhash64(i, shingle) — fast 64-bit numeric minhash for
+ *    production runs;
+ *  - [[md5Signatures]]: lexicographic min of md5(i || '|' || shingle) hex —
+ *    byte-identical in any engine with md5 (used by the DuckDB-checked
+ *    oracle queries; slower, same statistics).
+ *
+ * Candidate pairs never come from a cross join: documents sharing a band
+ * signature land in the same bucket, pairs are generated per bucket, then
+ * verified by estimated Jaccard = fraction of equal minhash components.
+ */
+object MinHash {
+
+  /** (id, sig: array<long>) — k numeric minhashes over char n-gram shingles. */
+  def signatures(docs: DataFrame, k: Int = 128, n: Int = 5,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = docs.select(col(id), explode(TextAnalysis.shingles(col(text), n)).as("sh"))
+      .distinct()
+    val minhashes = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy(id).agg(minhashes.head, minhashes.tail: _*)
+      .select(col(id), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from banding: b bands of r rows (k = b*r); pair emitted
+   * once if ANY band matches. Bucket size capped to avoid quadratic blowup
+   * on degenerate buckets (cap hits are counted upstream, not silent). */
+  def candidatePairs(sigs: DataFrame, bands: Int, rows: Int,
+                     id: String = "doc_id", maxBucket: Int = 2000): DataFrame = {
+    val banded = sigs.select(col(id), posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r).cast("string")): _*))): _*))
+      .as(Seq("band", "bkey")))
+    val buckets = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket && col("bn") > 1)
+    val inBucket = banded.join(buckets, Seq("band", "bkey"), "left_semi")
+    inBucket.select(col("band"), col("bkey"), col(id).as("id_a"))
+      .join(inBucket.select(col("band"), col("bkey"), col(id).as("id_b")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** End-to-end: near-dup pairs with estimated Jaccard ≥ threshold. */
+  def nearDupPairs(docs: DataFrame, k: Int = 128, bands: Int = 32, n: Int = 5,
+                   threshold: Double = 0.7,
+                   id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sigs = signatures(docs, k, n, id, text).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(sigs, bands, rows, id)
+    val withA = pairs.join(sigs.select(col(id).as("id_a"), col("sig").as("sig_a")), "id_a")
+    val withB = withA.join(sigs.select(col(id).as("id_b"), col("sig").as("sig_b")), "id_b")
+    withB.select(col("id_a"), col("id_b"),
+      (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+        x => x)).cast("double") / lit(k)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Cross-engine-exact md5 variant: (id, sig: array<string>). Used by the
+   * DuckDB-checked oracle query — min is lexicographic over hex strings,
+   * identical in Spark and DuckDB. */
+  def md5Signatures(docs: DataFrame, k: Int, n: Int,
+                    id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = docs.select(col(id), explode(TextAnalysis.shingles(col(text), n)).as("sh"))
+      .distinct()
+    val minhashes = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"h$i"))
+    sh.groupBy(id).agg(minhashes.head, minhashes.tail: _*)
+      .select(col(id), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for large-scale training-data pipelines:
+ * token counting, language id, quality scoring, fingerprinting. All are
+ * pure `Column` expressions (codegen'd built-ins, no UDFs) so they run
+ * inside whole-stage codegen and push down through the pipeline. Each has an
+ * exactly-matching ANSI-SQL formulation (used as DuckDB oracles) — the
+ * formulas below are part of the contract.
+ */
+object TextAnalysis {
+
+  private def allMatches(text: Column, pattern: String): Column =
+    regexp_extract_all(text, lit(pattern), lit(0))
+
+  /** Whitespace tokens: count of maximal non-space runs — identical to
+   * len(regexp_extract_all(text, '\S+')) in DuckDB; robust to empty strings
+   * and repeated whitespace. */
+  def tokenCount(text: Column): Column =
+    size(allMatches(text, "[^ \\t\\n\\r]+"))
+
+  /** BPE-ish subword count estimate: letter runs + single digits +
+   * punctuation — the usual pre-tokenizer regex shape. */
+  def subwordCount(text: Column): Column =
+    size(allMatches(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"))
+
+  // Stopword marker sets per language — tiny on purpose: the heuristic is
+  // the capability under test, not linguistic accuracy.
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|of|to|is|that|with)",
+    "de" -> "(der|die|das|und|ist|nicht|mit)",
+    "fr" -> "(le|la|les|et|est|que|dans)",
+    "es" -> "(el|la|los|de|que|es|por)")
+
+  private def markerHits(text: Column, markers: String): Column =
+    size(allMatches(lower(text), "\\b" + markers + "\\b"))
+
+  /**
+   * N-gram/stopword language id: per-language marker-hit counts; winner =
+   * greatest (hits, lang) struct — hit-ties break to the DESCENDING lang
+   * string (struct compare; the DuckDB oracle replicates via greatest(row)).
+   * "und" when nothing matches; any CJK char ≥ U+4E00 → "zh".
+   */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) =>
+      struct(markerHits(text, m).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .otherwise(when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und")))
+  }
+
+  /**
+   * Quality score in [0,1]: weighted blend of length band (50..5000 chars),
+   * alphanumeric ratio, mean-word-length band (3..12), stopword presence.
+   * Deterministic arithmetic only — same formula in the DuckDB oracle.
+   */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text)
+    val words = tokenCount(text)
+    val alpha = length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    val alphaRatio = when(chars > 0, alpha.cast("double") / chars).otherwise(lit(0.0))
+    val meanWord = when(words > 0, chars.cast("double") / words).otherwise(lit(0.0))
+    val lenScore = when(chars >= 50 && chars <= 5000, lit(1.0))
+      .when(chars > 5000, lit(0.5)).otherwise(chars.cast("double") / 50.0)
+    val wordScore = when(meanWord >= 3 && meanWord <= 12, lit(1.0)).otherwise(lit(0.5))
+    val stopScore = when(markerHits(text, LangMarkers.head._2) > 0, lit(1.0)).otherwise(lit(0.5))
+    round(lit(0.4) * lenScore + lit(0.3) * alphaRatio +
+      lit(0.2) * wordScore + lit(0.1) * stopScore, 6)
+  }
+
+  /** Document fingerprint: md5 of the lowercased text with all
+   * non-alphanumerics removed — stable under formatting/punctuation noise.
+   * (Rolling-hash analog of the reference's hash utilities,
+   * `totem_hash_table.cu:87-300`.) */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Character n-gram shingles of the whitespace-normalized lowercase text.
+   * Empty array when the text is shorter than n. */
+  def shingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val cnt = greatest(length(norm) - (n - 1), lit(0))
+    transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = allMatches(lower(text), "[^ \\t\\n\\r]+")
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+}
