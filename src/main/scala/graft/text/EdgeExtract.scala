@@ -25,7 +25,7 @@ object EdgeExtract {
   def links(pages: DataFrame): DataFrame =
     pages.select(
       col("url").as("src_url"),
-      explode(expr(s"regexp_extract_all(cast(html as string), '${HrefPattern.replace("'", "\\'")}', 1)"))
+      explode(regexp_extract_all(col("html").cast("string"), lit(HrefPattern), lit(1)))
         .as("dst_url"))
       .filter(col("dst_url").startsWith("http"))
 

@@ -83,14 +83,17 @@ object TextAnalysis {
    * Empty array when the text is shorter than n. */
   def shingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
-    val cnt = greatest(length(norm) - (n - 1), lit(0))
-    transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))
+    val cnt = length(norm) - (n - 1)
+    // sequence(1, 0) would yield a DESCENDING [1,0] — guard short texts
+    when(cnt >= 1, transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = allMatches(lower(text), "[^ \\t\\n\\r]+")
-    val cnt = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n))))
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1, transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    // deterministic unit-ish vectors in 8d
+    val rows = (0 until 50).map { i =>
+      val v = Array.tabulate(8)(d =>
+        (graft.gen.GraphGen.mix64(7L, i.toLong, d.toLong) % 1000L).toFloat / 1000f)
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  test("cosine column: self-similarity 1, orthogonal 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(1f, 1f), 1.0)
+    ).toDF("a", "b", "want")
+    df.select(Ann.cosine(col("a"), col("b")).as("got"), col("want")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("brute-force top-k: rank 1 is the vector itself when queried") {
+    val queries = corpus.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val top = Ann.bruteForceTopK(corpus, queries, k = 5)
+    val r1 = top.filter(col("rank") === 1).collect()
+    r1.foreach(r => assert(r.getLong(0) == r.getLong(1), "self not top-1"))
+    assert(top.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+  }
+
+  test("LSH top-k recall vs brute force (multi-probe)") {
+    val queries = corpus.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, k = 3).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(corpus, queries, k = 3, planes = 4, multiProbe = true)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low") // 4 planes + probe on 50 vecs
+  }
+
+  test("near-dup pairs: LSH finds what brute force finds at high threshold") {
+    // plant a near-duplicate pair
+    val planted = corpus.union(Seq(
+      (1000L, corpus.filter(col("vec_id") === 0).collect()(0)
+        .getSeq[Float](1).toArray.map(x => x * 1.001f))).toDF("vec_id", "embedding"))
+    val bf = Ann.bruteForceNearDupPairs(planted, 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.contains((0L, 1000L)))
+    val lsh = Ann.cosineNearDupPairs(planted, 0.9999, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 1000L)))
+  }
+
+  test("works on the driver embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.limit(2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val top = Ann.bruteForceTopK(emb, queries, k = 10)
+    assert(top.count() == 20)
+  }
+}

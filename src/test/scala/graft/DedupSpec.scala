@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, MinHash, SimHash}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog"),     // near dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat"),      // near dup of 0
+    (5L, "zzz qqq xxx unrelated noise tokens www yyy")
+  ).toDF("doc_id", "text").cache()
+
+  test("exact dedup keeps min id per identical text") {
+    val kept = Dedup.dedupExact(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L, 4L, 5L))
+    val groups = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
+    assert(groups.length == 1 && groups(0).getLong(2) == 0L)
+  }
+
+  test("ngram jaccard finds near-duplicate pairs above threshold only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 2L)) || pairs.contains((0L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("jaccard value is exact for identical docs") {
+    val j = Dedup.ngramJaccardPairs(docs, n = 4, threshold = 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .collect()(0).getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("minhash LSH finds the same near-dups as exact jaccard (high threshold)") {
+    val pairs = MinHash.nearDupPairs(docs, k = 64, bands = 16, n = 4, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash estimated jaccard = 1 for identical docs") {
+    val est = MinHash.nearDupPairs(docs, k = 64, bands = 16, n = 4, threshold = 0.6)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .collect()(0).getDouble(2)
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; near dups within 10; unrelated far") {
+    val fp = SimHash.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(5L)))
+    val pairs = SimHash.nearDupPairs(docs, maxDistance = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("groupsFromPairs groups transitive near-dups with min-id keeper") {
+    val pairs = Seq((0L, 1L, 1.0), (1L, 2L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val groups = Dedup.groupsFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(0L) == 0L && groups(1L) == 0L && groups(2L) == 0L)
+  }
+
+  test("works on the driver documents table") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.exactGroups(real, "doc_id", "text")
+    assert(exact.count() > 0)
+    val sh = SimHash.fingerprints(real, "doc_id", "text")
+    assert(sh.count() == real.count())
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Graph, Partitioning, Adjacency}
+import graft.gen.GraphGen
+import graft.mm.Multimodal
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("undirected/reverse/vertices/degrees") {
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 1L)).toDF("src", "dst")
+    assert(Graph.undirected(e).count() == 4) // dedup + both dirs
+    assert(Graph.symmetrized(e).count() == 6) // multiplicity kept
+    assert(Graph.reverse(e).filter(col("src") === 1L && col("dst") === 0L).count() == 2)
+    assert(Graph.vertices(e).count() == 3)
+    val deg = toMap[Long](Graph.outDegrees(e))
+    assert(deg(0L) == 2L && deg(1L) == 1L) // multiplicity counted (CSR row len)
+  }
+
+  test("degree distribution matches groupBy of degrees") {
+    val e = GraphGen.star(spark, 5) // hub deg 4, leaves deg 1
+    val dist = Graph.degreeDistribution(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(4L) == 1L && dist(1L) == 4L)
+  }
+
+  test("permute preserves structure with dense relabeled ids") {
+    val e = GraphGen.chain(spark, 10)
+    val p = Graph.permute(e, seed = 5)
+    assert(p.count() == e.count())
+    val vs = Graph.vertices(p).collect().map(_.getLong(0)).sorted
+    assert(vs.toSeq == (0L until 10L))
+    // degree multiset preserved
+    val d1 = Graph.outDegrees(e).select("deg").collect().map(_.getLong(0)).sorted.toSeq
+    val d2 = Graph.outDegrees(p).select("deg").collect().map(_.getLong(0)).sorted.toSeq
+    assert(d1 == d2)
+  }
+
+  test("subgraph keeps only edges between kept vertices") {
+    val e = GraphGen.chain(spark, 10)
+    val kept = (0L to 4L).toDF("vid")
+    val sub = Graph.subgraph(e, kept)
+    assert(Graph.vertices(sub).collect().map(_.getLong(0)).max == 4L)
+    assert(sub.count() == 8) // edges 0-1..3-4 both directions
+  }
+
+  test("summary counts self-loops and duplicates") {
+    val e = Seq((0L, 0L), (0L, 1L), (0L, 1L), (2L, 1L)).toDF("src", "dst")
+    val s = Graph.summary(e).collect()(0)
+    assert(s.getLong(0) == 3) // vertices
+    assert(s.getLong(1) == 4) // edges
+    assert(s.getLong(2) == 1) // self loops
+    assert(s.getLong(3) == 1) // dup edges
+  }
+
+  test("adjacency chunking splits hubs, preserves degree and neighbors") {
+    val e = GraphGen.star(spark, 1000) // hub with deg 999
+    val adj = Adjacency.build(e, chunkSize = 100)
+    val hubRows = adj.filter(col("src") === 0L).collect()
+    assert(hubRows.length >= 9, s"hub not chunked: ${hubRows.length} rows")
+    assert(hubRows.forall(_.getLong(1) == 999L)) // total degree on every chunk
+    assert(hubRows.map(_.getSeq[Long](2).size).sum == 999)
+    val leafRows = adj.filter(col("src") === 5L).collect()
+    assert(leafRows.length == 1 && leafRows(0).getSeq[Long](2) == Seq(0L))
+  }
+
+  test("edge-balanced buckets: each bucket carries ~equal edge mass") {
+    val e = GraphGen.rmat(spark, 9, 8, seed = 2)
+    val buckets = Partitioning.edgeBalancedBuckets(e, 8)
+    val mass = buckets.groupBy("bucket").agg(sum("deg").as("m"))
+      .collect().map(_.getLong(1))
+    val total = mass.sum.toDouble
+    assert(mass.length == 8)
+    // no bucket more than 2x the fair share (power-law input!)
+    assert(mass.forall(_ <= total / 8 * 2.2), mass.mkString(","))
+  }
+
+  test("modularity: perfect split of disconnected cliques ~ high Q") {
+    val e = GraphGen.complete(spark, 4).union(
+      GraphGen.complete(spark, 4).select(col("src") + 10, col("dst") + 10))
+    val parts = Graph.vertices(e).select(col("vid"), (col("vid") >= 10L).cast("int").as("part"))
+    val q = Partitioning.modularity(e, parts)
+    assert(q > 0.4, s"Q=$q")
+  }
+
+  test("multimodal: feature extraction and resize preserve schema and determinism") {
+    val media = Multimodal.syntheticMedia(spark, 20, seed = 3).cache()
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.mean_luma >= 0 && f.mean_luma <= 255)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3) // normalized histogram
+    }
+    val resized = Multimodal.resize(media, maxSide = 16).collect()
+    assert(resized.forall(m => m.width <= 16 || m.height <= 16))
+    // deterministic
+    val feats2 = Multimodal.imageFeatures(media).collect()
+    assert(feats.map(_.mean_luma).toSeq == feats2.map(_.mean_luma).toSeq)
+  }
+}

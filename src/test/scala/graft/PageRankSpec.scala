@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.alg.PageRank
+import graft.gen.GraphGen
+import graft.oracle.Reference
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("chain: rank symmetry (reference unittest property)") {
+    // totem_page_rank_unittest.cu:96-127 — symmetric positions equal rank
+    val edges = GraphGen.chain(spark, 10)
+    val ranks = toMap[Double](PageRank.run(edges).ranks)
+    for (i <- 0 until 5)
+      assert(math.abs(ranks(i.toLong) - ranks(9L - i)) < 1e-12)
+    assert(ranks.values.forall(_ > 0))
+  }
+
+  test("star: hub rank exceeds leaf ranks, leaves equal") {
+    val edges = GraphGen.star(spark, 16)
+    val ranks = toMap[Double](PageRank.run(edges).ranks)
+    assert(ranks(0L) > ranks(1L))
+    for (i <- 2 until 16) assert(math.abs(ranks(i.toLong) - ranks(1L)) < 1e-12)
+  }
+
+  test("matches oracle allclose(1e-6) on RMAT scale 8") {
+    val edges = GraphGen.rmat(spark, 8, 8, seed = 42).cache()
+    val es = edgesOf(edges)
+    val v = (es.map(_._1) ++ es.map(_._2)).max.toInt + 1
+    // oracle runs over all ids 0..max; engine only over ids with edges —
+    // compare on the engine's vertex set with the oracle computed on the
+    // same dense universe requires identical V; restrict both to touched ids
+    val touched = (es.map(_._1) ++ es.map(_._2)).toSet
+    // engine V = touched.size; build a compacted id space for the oracle
+    val idMap = touched.toSeq.sorted.zipWithIndex.map { case (g, i) => g -> i.toLong }.toMap
+    val compact = es.map { case (s, d) => (idMap(s), idMap(d)) }
+    val expected = Reference.pageRank(touched.size, compact)
+    val actual = toMap[Double](PageRank.run(edges).ranks)
+    touched.toSeq.sorted.zipWithIndex.foreach { case (g, i) =>
+      assert(math.abs(actual(g) - expected(i)) <= 1e-6,
+        s"vid=$g: ${actual(g)} vs ${expected(i)}")
+    }
+  }
+
+  test("zero-out-degree sinks handled like the reference (finite, skipped)") {
+    // 0->1, 2->1: vertex 1 is a pure sink
+    val edges = Seq((0L, 1L), (2L, 1L)).toDF("src", "dst")
+    val expected = Reference.pageRank(3, Seq((0L, 1L), (2L, 1L)))
+    val actual = toMap[Double](PageRank.run(edges).ranks)
+    (0 until 3).foreach(i =>
+      assert(math.abs(actual(i.toLong) - expected(i)) <= 1e-12))
+    assert(actual.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("convergence mode reaches stable ranks and reports iterations") {
+    // well-mixed graph: power iteration converges far faster than the 0.85
+    // worst-case rate, keeping the test quick
+    val edges = graft.core.Graph.undirected(GraphGen.uniform(spark, 60, 500, seed = 17))
+    val res = PageRank.runUntilConverged(edges, tol = 1e-6, maxIter = 100)
+    assert(res.metrics.nonEmpty)
+    assert(res.metrics.last.converged)
+    assert(res.ranks.agg(min("rank")).collect()(0).getDouble(0) > 0.0)
+  }
+
+  test("per-superstep metrics carry edge traversals (GTEPS basis)") {
+    val edges = GraphGen.chain(spark, 10)
+    val e = edges.count()
+    val res = PageRank.run(edges)
+    assert(res.metrics.size == 5) // PAGE_RANK_ROUNDS
+    assert(res.metrics.forall(_.edgesTraversed == e))
+  }
+}

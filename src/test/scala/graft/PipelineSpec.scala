@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.GraphGen
+import graft.text.{TextExtract, EdgeExtract}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("html->text extraction: pure function and Column expression agree byte-identically") {
+    val pages = GraphGen.pages(spark, 200, seed = 1).cache()
+    val mismatches = pages
+      .withColumn("recomputed", TextExtract.extractCol(col("html")))
+      .filter(col("recomputed") =!= col("text"))
+      .count()
+    assert(mismatches == 0, "Column-expression extraction diverged from the pure function")
+  }
+
+  test("stored text is byte-identical to extraction of stored html (north-rule invariant)") {
+    val pages = GraphGen.pages(spark, 100, seed = 2)
+    pages.select(col("url"), col("html"), col("text")).collect().foreach { r =>
+      val html = new String(r.getAs[Array[Byte]]("html"), "UTF-8")
+      assert(TextExtract.extract(html) == r.getString(2), s"url=${r.getString(0)}")
+    }
+  }
+
+  test("extractor semantics: tags, script/style, entities, whitespace") {
+    assert(TextExtract.extract("<p>a  b</p>") == "a b")
+    assert(TextExtract.extract("<script>x<y</script>hi<style>a{}</style>") == "hi")
+    assert(TextExtract.extract("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f")
+      == "a & b <c> \"d\" 'e' f")
+    assert(TextExtract.extract("<a href=\"x\">link</a> end") == "link end")
+  }
+
+  test("edge extraction builds a link graph with dense deterministic ids") {
+    val pages = GraphGen.pages(spark, 300, seed = 3).cache()
+    val edges = EdgeExtract.edges(pages).cache()
+    assert(edges.count() > 0)
+    // ids dense in [0, V)
+    val dict = EdgeExtract.urlDictionary(pages,
+      pages.select(col("url")).union(EdgeExtract.links(pages).select(col("dst_url").as("url"))))
+    val n = dict.count()
+    val (mn, mx) = dict.agg(min("vid"), max("vid")).collect()(0) match {
+      case r => (r.getLong(0), r.getLong(1))
+    }
+    assert(mn == 0L && mx == n - 1)
+    // dictionary deterministic across evaluations
+    assert(dict.except(EdgeExtract.urlDictionary(pages,
+      pages.select(col("url")).union(EdgeExtract.links(pages).select(col("dst_url").as("url"))))).isEmpty)
+  }
+
+  test("end-to-end: pages -> edges -> pagerank produces mass ~ (1-d) + d*contribs") {
+    val pages = GraphGen.pages(spark, 200, seed = 4)
+    val edges = EdgeExtract.edges(pages)
+    val ranks = graft.alg.PageRank.run(edges).ranks
+    assert(ranks.count() > 0)
+    assert(ranks.agg(min("rank")).collect()(0).getDouble(0) > 0.0)
+  }
+
+  test("generators are deterministic across invocations") {
+    val a = GraphGen.rmat(spark, 7, 4, seed = 42).collect().toSeq
+    val b = GraphGen.rmat(spark, 7, 4, seed = 42).collect().toSeq
+    assert(a == b)
+    val c = GraphGen.rmat(spark, 7, 4, seed = 43).collect().toSeq
+    assert(a != c)
+    // repartitioned input -> same rows (order-free)
+    val d = GraphGen.rmat(spark, 7, 4, seed = 42).repartition(7).collect().toSet
+    assert(d == a.toSet)
+  }
+
+  test("rmat degree distribution is skewed (power-law-ish)") {
+    val edges = GraphGen.rmat(spark, 9, 8, seed = 1)
+    val degs = graft.core.Graph.outDegrees(edges).select("deg")
+      .collect().map(_.getLong(0)).sorted
+    val maxDeg = degs.last
+    val medianDeg = degs(degs.length / 2)
+    assert(maxDeg > 8 * medianDeg, s"max=$maxDeg median=$medianDeg — expected heavy tail")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.core.{Superstep, StepResult}
+import graft.gen.GraphGen
+import graft.alg.ConnectedComponents
+
+class SuperstepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("checkpoints write manifests with lineage and metrics") {
+    val dir = tmpDir("ckpt")
+    val init = spark.range(10).select(col("id").as("vid"), lit(0).as("x"))
+    val out = Superstep.run(init,
+      Superstep.Config(maxSupersteps = 3, checkpointDir = Some(dir))) { (state, ss) =>
+      StepResult(state.withColumn("x", col("x") + 1), edgesTraversed = 10L, converged = ss == 3)
+    }
+    assert(out.supersteps == 3)
+    (1 to 3).foreach { ss =>
+      val mf = Paths.get(s"$dir/superstep=$ss/manifest.json")
+      assert(Files.exists(mf))
+      val s = Files.readString(mf)
+      assert(s.contains("\"status\":\"complete\""))
+      assert(s.contains("\"edges_traversed\":10"))
+      assert(s.contains("\"partitions\":["))
+      if (ss > 1) assert(s.contains(s"superstep=${ss - 1}/data"))
+    }
+    assert(out.state.agg(min("x")).collect()(0).getInt(0) == 3)
+  }
+
+  test("resume continues from the last complete superstep") {
+    val dir = tmpDir("resume")
+    // run 2 of 5 supersteps, "crash"
+    Superstep.run(spark.range(5).select(col("id").as("vid"), lit(0).as("x")),
+      Superstep.Config(maxSupersteps = 2, checkpointDir = Some(dir))) { (state, _) =>
+      StepResult(state.withColumn("x", col("x") + 1), 5L, converged = false)
+    }
+    assert(Superstep.latestComplete(dir).map(_._1).contains(2))
+    // resume to completion: must NOT re-run supersteps 1-2
+    var executed = 0
+    val out = Superstep.run(
+      spark.range(5).select(col("id").as("vid"), lit(999).as("x")), // ignored on resume
+      Superstep.Config(maxSupersteps = 5, checkpointDir = Some(dir), resume = true)) { (state, ss) =>
+      executed += 1
+      assert(ss >= 3, s"superstep $ss re-executed after resume")
+      StepResult(state.withColumn("x", col("x") + 1), 5L, converged = ss == 5)
+    }
+    assert(executed == 3)
+    assert(out.state.agg(min("x")).collect()(0).getInt(0) == 5)
+    // ledger includes the pre-crash supersteps read back from manifests
+    assert(out.metrics.map(_.superstep) == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("WCC with checkpointing resumes mid-iteration to the same answer") {
+    val edges = GraphGen.chain(spark, 12).cache()
+    val dir = tmpDir("wccckpt")
+    // full run for reference
+    val expected = toMap[Long](ConnectedComponents.run(edges).components)
+    // partial run: cap supersteps below convergence, then resume
+    ConnectedComponents.run(edges, checkpointDir = Some(dir), maxSupersteps = 3)
+    val resumed = ConnectedComponents.run(edges, checkpointDir = Some(dir), resume = true)
+    assert(toMap[Long](resumed.components) == expected)
+  }
+
+  test("metrics expose GTEPS per superstep") {
+    val edges = GraphGen.chain(spark, 50)
+    val res = graft.alg.PageRank.run(edges)
+    res.metrics.foreach { m => assert(m.gteps > 0.0) }
+  }
+}

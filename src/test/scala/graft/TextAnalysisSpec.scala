@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count: whitespace runs, empty strings") {
+    val df = Seq("a b c", "  a   b  ", "", "one", "\t x \n y \r").toDF("text")
+    val got = df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 2, 0, 1, 2))
+  }
+
+  test("subword count splits letters/digits/punct") {
+    val got = Seq("ab12-cd!").toDF("text")
+      .select(TextAnalysis.subwordCount(col("text"))).collect()(0).getInt(0)
+    // "ab","1","2","-","cd","!"
+    assert(got == 6)
+  }
+
+  test("language id picks marker-dominant language; CJK shortcut; und fallback") {
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("le chat et la maison est dans les bois", "fr"),
+      ("el gato es de los bosques por la casa", "es"),
+      ("你好世界", "zh"),
+      ("zzz qqq www", "und")
+    ).toDF("text", "want")
+    df.select(TextAnalysis.langId(col("text")).as("got"), col("want")).collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("quality score in [0,1]; garbage scores below clean prose") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs far away to the hills"
+    val garbage = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((("
+    val df = Seq(clean, garbage).toDF("text")
+    val s = df.select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(s.forall(x => x >= 0.0 && x <= 1.0))
+    assert(s(0) > s(1))
+  }
+
+  test("fingerprint invariant to case/punctuation/whitespace") {
+    val df = Seq("Hello, World!", "hello   world", "HELLO WORLD").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps.toSet.size == 1)
+  }
+
+  test("char shingles and word shingles") {
+    val sh = Seq("abcde").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(sh == Seq("abc", "bcd", "cde"))
+    val ws = Seq("a b c d").toDF("text")
+      .select(TextAnalysis.wordShingles(col("text"), 2)).collect()(0).getSeq[String](0)
+    assert(ws == Seq("a b", "b c", "c d"))
+    val short = Seq("ab").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("runs over the driver documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(out.count() == docs.count())
+    assert(out.filter(col("tokens") <= 0).count() == 0)
+  }
+}
