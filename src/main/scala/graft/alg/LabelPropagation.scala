@@ -95,9 +95,14 @@ object LabelPropagation {
         } else newDistFlat
       // argmax with strict > over ascending l ⇒ max (p, then lowest l);
       // entries with p <= 0 can never win; empty support ⇒ label 0.
+      // p is rounded to 12 decimals for the comparison ONLY: symmetric
+      // graphs produce exact ties whose distributed summation order would
+      // otherwise flip the winner run-to-run (the reference is only
+      // deterministic because its CSR loop order is fixed); gaps > 1e-12
+      // are unaffected, ulp-noise ties collapse to the lowest label.
       val agg = pruned.groupBy(Graph.VID).agg(
         collect_list(struct(col("l"), col("p"))).as("dist"),
-        max(struct(col("p").as("p"), (-col("l")).as("nl"))).as("best"))
+        max(struct(round(col("p"), 12).as("p"), (-col("l")).as("nl"))).as("best"))
       val next = state.select(col(Graph.VID), col("label").as("old"), col("stable"))
         .join(agg, Seq(Graph.VID), "left")
         .select(col(Graph.VID),

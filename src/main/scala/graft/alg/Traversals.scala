@@ -127,11 +127,11 @@ object Traversals {
       val nbrs = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID)).distinct()
       val discovered = nbrs.join(visited, Seq(Graph.VID), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+        .transform(graft.core.Lineage.cut)
       found = !discovered.filter(col(Graph.VID) === t).isEmpty
       exhausted = discovered.isEmpty
       visited = visited.unionByName(discovered)
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+        .transform(graft.core.Lineage.cut)
       frontier = discovered
     }
     adj.unpersist(blocking = false)

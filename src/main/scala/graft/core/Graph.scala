@@ -89,6 +89,48 @@ object Graph {
       .select(col("__n1").as(SRC), col("__n2").as(DST))
   }
 
+  /** Sorted grouped adjacency — `graph_sort_nbrs` (`totem_graph.cu:923-957`):
+   * each vertex's neighbor chunk id-sorted (`sort_array`, codegen'd). */
+  def sortedAdjacency(edges: DataFrame, chunkSize: Int = Adjacency.DefaultChunk): DataFrame =
+    Adjacency.build(edges, chunkSize)
+      .withColumn("nbrs", sort_array(col("nbrs")))
+
+  /** Renumber vertex ids in degree order — `get_sorted_vertices_map`
+   * (`totem_generator.cc:682-720`): returns relabeled edges where id 0 is
+   * the highest-degree vertex (desc) or lowest (asc). */
+  def sortVerticesByDegree(edges: DataFrame, descending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = vertices(edges).join(outDegrees(edges), Seq(VID), "left")
+      .select(col(VID), coalesce(col("deg"), lit(0L)).as("deg"))
+    val order = if (descending) Window.orderBy(col("deg").desc, col(VID))
+    else Window.orderBy(col("deg").asc, col(VID))
+    val mapping = deg.withColumn("nid", row_number().over(order).cast("long") - 1L)
+    edges
+      .join(mapping.select(col(VID).as("__v1"), col("nid").as("__n1")), col(SRC) === col("__v1"))
+      .join(mapping.select(col(VID).as("__v2"), col("nid").as("__n2")), col(DST) === col("__v2"))
+      .select(col("__n1").as(SRC), col("__n2").as(DST))
+  }
+
+  /** Deterministic "random" weights — the generator's weighted branch
+   * (`totem_generator.cc:115-121`): weight ~ U[0, vertexCount). */
+  def withRandomWeights(edges: DataFrame, seed: Long, vertexCount: Long): DataFrame =
+    edges.withColumn("weight",
+      (pmod(xxhash64(col(SRC), col(DST), lit(seed)), lit(1000000L)).cast("double")
+        / 1000000.0) * vertexCount)
+
+  /** Bidirectional residual graph for flow algorithms —
+   * `graph_create_bidirectional` (`totem_graph.cu:486-586`): adds 0-capacity
+   * reverse edges and a `reverse_id` linking each edge to its partner. */
+  def bidirectional(edges: DataFrame): DataFrame = {
+    val w = if (edges.columns.contains("weight")) col("weight") else lit(1.0)
+    val fwd = edges.select(col(SRC), col(DST), w.as("capacity"), lit(true).as("forward"))
+    val bwd = edges.select(col(DST).as(SRC), col(SRC).as(DST),
+      lit(0.0).as("capacity"), lit(false).as("forward"))
+    fwd.unionByName(bwd)
+      .withColumn("edge_id", xxhash64(col(SRC), col(DST), col("forward").cast("int")))
+      .withColumn("reverse_id", xxhash64(col(DST), col(SRC), (!col("forward")).cast("int")))
+  }
+
   /** Analyze-summary analog (`totem_generator.cc:497-518`): one-row DataFrame
    * of structural counts used as sanity assertions. */
   def summary(edges: DataFrame): DataFrame = {
@@ -143,5 +185,9 @@ object Adjacency {
       .groupBy(col(Graph.SRC), col("chunk"))
       .agg(first("deg").as("deg"), collect_list(col(Graph.DST)).as("nbrs"))
       .drop("chunk")
+      // align layout with the per-superstep state⋈adjacency equi-join on
+      // src: HashPartitioning(src) means the (big) adjacency side is never
+      // re-exchanged across supersteps — only the O(V) state side shuffles
+      .repartition(col(Graph.SRC))
   }
 }

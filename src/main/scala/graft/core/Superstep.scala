@@ -101,12 +101,9 @@ object Superstep {
     Outcome(state, metrics.toSeq)
   }
 
-  /** Persist + force — the cheap intra-run barrier. localCheckpoint truncates
-   * lineage so the logical plan stays O(1) across supersteps. */
-  private def materialize(df: DataFrame): DataFrame = {
-    val out = df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
-    out
-  }
+  /** Force + truncate lineage — the cheap intra-run barrier (localCheckpoint
+   * caches at MEMORY_AND_DISK itself; an extra persist would double-cache). */
+  private def materialize(df: DataFrame): DataFrame = Lineage.cut(df)
 
   private def writeCheckpoint(df: DataFrame, cfg: Config, superstep: Int): (DataFrame, Long, Map[Int, Long]) = {
     val dir = cfg.checkpointDir.get

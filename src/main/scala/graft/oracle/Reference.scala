@@ -79,7 +79,12 @@ object Reference {
         var maxP = 0.0; var maxL = 0
         for (l <- 0 until v) {
           p(u)(l) = pNew(u)(l)
-          if (p(u)(l) > maxP) { maxP = p(u)(l); maxL = l }
+          // match the engine's 12-decimal tie-collapse (see
+          // LabelPropagation.labelRank): ulp-order noise must not pick the
+          // argmax on symmetric graphs
+          val pr = if (p(u)(l).isNaN) p(u)(l)
+          else BigDecimal(p(u)(l)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (pr > maxP) { maxP = pr; maxL = l }
         }
         if (labels(u) == maxL) counter(u) += 1 else counter(u) = 0
         labels(u) = maxL
@@ -128,6 +133,61 @@ object Reference {
       adj(u).foreach { n => if (cost(n) < 0) { cost(n) = cost(u) + 1; q += n } }
     }
     cost
+  }
+
+  /** Brandes betweenness (unweighted, directed along stored edges) over the
+   * given sources — `totem_betweenness.cu` semantics. */
+  def betweenness(v: Int, edges: Seq[(Long, Long)], sources: Seq[Int]): Array[Double] = {
+    val adj = adjacency(v, edges)
+    val bc = new Array[Double](v)
+    sources.foreach { s =>
+      val stack = mutable.Stack[Int]()
+      val preds = Array.fill(v)(mutable.ArrayBuffer[Int]())
+      val sigma = new Array[Double](v); sigma(s) = 1.0
+      val dist = Array.fill(v)(-1); dist(s) = 0
+      val q = mutable.Queue(s)
+      while (q.nonEmpty) {
+        val u = q.dequeue(); stack.push(u)
+        adj(u).foreach { w =>
+          if (dist(w) < 0) { dist(w) = dist(u) + 1; q += w }
+          if (dist(w) == dist(u) + 1) { sigma(w) += sigma(u); preds(w) += u }
+        }
+      }
+      val delta = new Array[Double](v)
+      while (stack.nonEmpty) {
+        val w = stack.pop()
+        preds(w).foreach { u => delta(u) += sigma(u) / sigma(w) * (1.0 + delta(w)) }
+        if (w != s) bc(w) += delta(w)
+      }
+    }
+    bc
+  }
+
+  /** Stress centrality (shortest-path counts through each vertex). */
+  def stress(v: Int, edges: Seq[(Long, Long)], sources: Seq[Int]): Array[Long] = {
+    val adj = adjacency(v, edges)
+    val st = new Array[Double](v)
+    sources.foreach { s =>
+      val stack = mutable.Stack[Int]()
+      val preds = Array.fill(v)(mutable.ArrayBuffer[Int]())
+      val sigma = new Array[Double](v); sigma(s) = 1.0
+      val dist = Array.fill(v)(-1); dist(s) = 0
+      val q = mutable.Queue(s)
+      while (q.nonEmpty) {
+        val u = q.dequeue(); stack.push(u)
+        adj(u).foreach { w =>
+          if (dist(w) < 0) { dist(w) = dist(u) + 1; q += w }
+          if (dist(w) == dist(u) + 1) { sigma(w) += sigma(u); preds(w) += u }
+        }
+      }
+      val delta = new Array[Double](v)
+      while (stack.nonEmpty) {
+        val w = stack.pop()
+        preds(w).foreach { u => delta(u) += sigma(u) * (1.0 + delta(w) / sigma(w)) }
+        if (w != s) st(w) += delta(w)
+      }
+    }
+    st.map(math.round)
   }
 
   /** Dijkstra SSSP; Double.PositiveInfinity = unreached. */

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.alg.Centrality
+import graft.gen.GraphGen
+import graft.oracle.Reference
+
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("betweenness on a chain: middle vertices dominate (exact oracle)") {
+    val edges = GraphGen.chain(spark, 7) // undirected, both dirs
+    val sources = (0 until 7).toSeq
+    val expected = Reference.betweenness(7, edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq, sources)
+    val actual = toMap[Double](Centrality.betweenness(edges, sources.map(_.toLong)))
+    (0 until 7).foreach { i =>
+      assert(math.abs(actual(i.toLong) - expected(i)) < 1e-9, s"vid=$i: ${actual(i.toLong)} vs ${expected(i)}")
+    }
+    assert(actual(3L) > actual(1L) && actual(1L) > actual(0L))
+  }
+
+  test("betweenness matches oracle on random graph, sampled sources") {
+    val edges = graft.core.Graph.undirected(GraphGen.uniform(spark, 20, 60, seed = 8)).cache()
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vmax = es.flatMap(e => Seq(e._1, e._2)).max.toInt + 1
+    val sources = es.map(_._1).distinct.sorted.take(5)
+    val expected = Reference.betweenness(vmax, es, sources.map(_.toInt))
+    val actual = toMap[Double](Centrality.betweenness(edges, sources))
+    actual.foreach { case (vid, s) =>
+      assert(math.abs(s - expected(vid.toInt)) < 1e-9, s"vid=$vid: $s vs ${expected(vid.toInt)}")
+    }
+  }
+
+  test("stress matches oracle on random graph") {
+    val edges = graft.core.Graph.undirected(GraphGen.uniform(spark, 15, 40, seed = 12)).cache()
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vmax = es.flatMap(e => Seq(e._1, e._2)).max.toInt + 1
+    val sources = es.map(_._1).distinct.sorted.take(4)
+    val expected = Reference.stress(vmax, es, sources.map(_.toInt))
+    val actual = toMap[Long](Centrality.stress(edges, sources))
+    actual.foreach { case (vid, s) =>
+      assert(s == expected(vid.toInt), s"vid=$vid: $s vs ${expected(vid.toInt)}")
+    }
+  }
+
+  test("multi-source BFS equals per-source BFS") {
+    val edges = GraphGen.grid(spark, 3, 4)
+    val sources = Seq(0L, 5L)
+    val multi = Centrality.multiSourceBfs(edges, sources).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    sources.foreach { s =>
+      val single = toMap[Int](graft.alg.Traversals.bfs(edges, s).state)
+      single.foreach { case (vid, d) =>
+        assert(multi((s, vid)) == d, s"root=$s vid=$vid")
+      }
+    }
+  }
+}

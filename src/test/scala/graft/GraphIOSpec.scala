@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.GraphIO
+import graft.gen.GraphGen
+
+class GraphIOSpec extends SparkSpec {
+
+  test("text graph round-trip (reference edge-list format)") {
+    val dir = Files.createTempDirectory("graphio").toString
+    val edges = GraphGen.uniform(spark, 20, 50, seed = 4)
+    GraphIO.writeText(edges, s"$dir/g", directed = true)
+    val back = GraphIO.readText(spark, s"$dir/g")
+    assert(back.directed)
+    assert(back.edgeCount == edges.count())
+    val a = edges.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = back.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("text parser handles header flags and comments") {
+    val dir = Files.createTempDirectory("graphio2").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/g.txt"),
+      "# NODES: 3\n# EDGES: 2\n# UNDIRECTED\n0 1\n1 2 5.5\n")
+    val g = GraphIO.readText(spark, s"$dir/g.txt")
+    assert(!g.directed && g.vertexCount == 3 && g.edgeCount == 2)
+    val rows = g.edges.orderBy("src").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getDouble(2) == 5.5)
+    assert(rows(0).isNullAt(2)) // unweighted edge -> null weight
+  }
+
+  test("parquet round-trip with bucketing column") {
+    val dir = Files.createTempDirectory("graphio3").toString
+    val edges = GraphGen.chain(spark, 10)
+    GraphIO.writeParquet(edges, s"$dir/g", buckets = 4)
+    val back = GraphIO.readParquet(spark, s"$dir/g")
+    assert(back.count() == edges.count())
+    assert(back.columns.contains("bucket"))
+  }
+
+  test("alters: sorted adjacency, degree renumbering, weights, bidirectional") {
+    val edges = GraphGen.star(spark, 5)
+    val adj = graft.core.Graph.sortedAdjacency(edges)
+    val hub = adj.filter(col("src") === 0L).collect()(0).getSeq[Long](2)
+    assert(hub == hub.sorted)
+    // degree renumbering: hub (deg 4) becomes id 0 under desc
+    val ren = graft.core.Graph.sortVerticesByDegree(edges, descending = true)
+    val deg0 = graft.core.Graph.outDegrees(ren).filter(col("vid") === 0L)
+      .collect()(0).getLong(1)
+    assert(deg0 == 4L)
+    val w = graft.core.Graph.withRandomWeights(edges, seed = 1, vertexCount = 5)
+    assert(w.agg(min("weight")).collect()(0).getDouble(0) >= 0.0)
+    assert(w.agg(max("weight")).collect()(0).getDouble(0) < 5.0)
+    val bi = graft.core.Graph.bidirectional(GraphGen.chain(spark, 3).limit(2))
+    assert(bi.count() == 4)
+    // every edge's reverse_id resolves to an existing edge_id
+    val ids = bi.select("edge_id").collect().map(_.getLong(0)).toSet
+    bi.select("reverse_id").collect().foreach(r => assert(ids.contains(r.getLong(0))))
+  }
+}
