@@ -18,8 +18,12 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  // q_label_prop (uncapped reference-parity LabelRank) is deliberately NOT
+  // benched: on the near-complete sf0.1 derived graph its cost is the
+  // reference's own O(V²·deg) by design (~60M rows/iteration × 25); the
+  // pruned scale-path variant represents label propagation here.
   private val Headline = Seq(
-    "q_pagerank", "q_wcc", "q_triangles", "q_label_prop", "q_bfs", "q_sssp",
+    "q_pagerank", "q_wcc", "q_triangles", "q_label_prop_pruned", "q_bfs", "q_sssp",
     "q_out_degree", "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality", "q_ngram_jaccard")
 

@@ -105,6 +105,12 @@ object SparkEntry {
       graft.alg.LabelPropagation.labelRank(Graph.undirected(eMOD(s, dir))).labels),
     "q_majority_lpa" -> ((s, dir) =>
       graft.alg.LabelPropagation.majorityLpa(eMOD(s, dir), iterations = 5).labels),
+    "q_label_prop_pruned" -> ((s, dir) =>
+      // the web-scale configuration: per-vertex label support capped at 16
+      // (LabelRank-paper pruning); exact parity vs the dense oracle is
+      // asserted in ScalaTest on the uncapped variant
+      graft.alg.LabelPropagation.labelRank(Graph.undirected(eMOD(s, dir)),
+        pruneTopK = 16).labels),
     "q_kcore" -> ((s, dir) =>
       graft.alg.Cores.kCore(eMOD(s, dir), k = 8)),
     "q_bfs_tree" -> ((s, dir) => {

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed counts over the batch events table") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = EventStream.windowedCounts(events, "1 hour")
+    assert(out.count() > 0)
+    val total = out.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == events.count())
+  }
+
+  test("windowed counts as a real stream with watermark (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = EventStream.windowedCounts(df, "10 minutes", "20 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(5), 1L, "click", 2.0),
+        (3L, ts(15), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.map(_.getLong(2)).sum == 3)
+      assert(rows.length == 2) // two 10-minute windows
+    } finally q.stop()
+  }
+
+  test("sessionization splits on the gap and aggregates per session") {
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 2.0),
+      Event(3, ts(30), 1, "a", 3.0), // > 10-minute gap -> new session
+      Event(4, ts(2), 2, "b", 4.0)
+    ).toDS()
+    val sessions = EventStream.sessionize(events, gapMs = 10 * 60000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.length == 3)
+    assert(sessions(0) == Session(1, ts(0), ts(1), 2, 3.0))
+    assert(sessions(1) == Session(1, ts(30), ts(30), 1, 3.0))
+    assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
+  }
+
+  test("file stream source reads micro-batches and sinks to parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"; val in = s"$dir/in"
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(100).write.parquet(in)
+    val stream = EventStream.readEventStream(spark, in)
+    assert(stream.isStreaming)
+    val q = EventStream.writeEventStream(
+      stream.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")), out, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).count() == 100)
+  }
+}
