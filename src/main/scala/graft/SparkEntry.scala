@@ -113,6 +113,22 @@ object SparkEntry {
         pruneTopK = 16).labels),
     "q_kcore" -> ((s, dir) =>
       graft.alg.Cores.kCore(eMOD(s, dir), k = 8)),
+    "q_maxflow" -> ((s, dir) => {
+      import s.implicits._
+      // small derived DAG: region->nation->supplier capacities from keys
+      val e = s.read.parquet(s"$dir/supplier.parquet")
+        .select((col("s_nationkey") + 1000).cast("long").as("src"),
+          (col("s_suppkey") + 2000).as("dst"),
+          lit(1.0).as("weight"))
+        .union(s.read.parquet(s"$dir/nation.parquet")
+          .select(lit(0L).as("src"), (col("n_nationkey") + 1000).cast("long").as("dst"),
+            lit(3.0).as("weight")))
+        .union(s.read.parquet(s"$dir/supplier.parquet")
+          .select((col("s_suppkey") + 2000).as("src"), lit(999999L).as("dst"),
+            lit(1.0).as("weight")))
+      val r = graft.alg.MaxFlow.maxFlow(e, 0L, 999999L)
+      Seq(r.value).toDF("max_flow")
+    }),
     "q_bfs_tree" -> ((s, dir) => {
       val e = Graph.undirected(ePS(s, dir))
       val source = lineitem(s, dir).agg(min("l_partkey")).collect()(0).getLong(0)
