@@ -27,6 +27,8 @@ object ScalingProbe {
         // cores the way per-executor NVMe scales with executors on a
         // cluster; shm removes that artifact from the scaling measurement
         .config("spark.local.dir", "/dev/shm/graft-spark-local")
+        .config("spark.sql.inMemoryColumnarStorage.compressed",
+          sys.props.getOrElse("graft.cache.compressed", "true"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
