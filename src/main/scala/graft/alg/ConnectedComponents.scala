@@ -23,32 +23,46 @@ object ConnectedComponents {
 
   final case class Result(components: DataFrame, metrics: Seq[graft.core.StepMetrics])
 
-  /** `edges` may be directed; WCC symmetrizes internally. */
+  /** `edges` may be directed; WCC symmetrizes internally.
+   *
+   * `denseThreshold`: the sparse/dense frontier switch of the reference's
+   * hybrid kernels (`totem_bfs_hybrid.cu:128-145`, threshold
+   * `totem_alg.h:37`) — when the changed set exceeds this fraction of V,
+   * messages are pushed from the FULL state instead of filtering the delta:
+   * same fixpoint (a vertex whose comp did not change this round offers
+   * nothing its neighbors have not already seen), but the plan skips the
+   * filter + small-side rebuild that stops paying once the frontier is most
+   * of the graph. `denseThreshold >= 1.0` disables the switch. */
   def run(edges: DataFrame,
           checkpointDir: Option[String] = None,
           resume: Boolean = false,
           maxSupersteps: Int = 200,
+          denseThreshold: Double = 0.1,
           verbose: Boolean = false): Result = {
     val und = Graph.undirected(edges)
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(und).persist(StorageLevel.MEMORY_AND_DISK)
+    val totalEdges = und.count()
 
     // state: (vid, comp, changed)
     val init = Graph.vertices(und)
       .select(col(Graph.VID), col(Graph.VID).as("comp"), lit(true).as("changed"))
+    val totalV = Graph.vertices(und).count()
 
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxSupersteps, checkpointDir = checkpointDir,
         resume = resume, verbose = verbose)) { (state, _) =>
       val delta = state.filter(col("changed"))
-      // edges traversed this superstep = Σ deg(active) — the metric the
+      // edges traversed + frontier size in ONE tiny job — the metric the
       // reference reports per traversal (`totem_benchmark_binary.cu:133-156`)
-      val trv = delta.join(degs, Seq(Graph.VID), "left")
-        .agg(sum(coalesce(col("deg"), lit(0L)))).collect()(0) match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-      val msgs = adj.join(delta, adj(Graph.SRC) === delta(Graph.VID))
+      val stats = delta.join(degs, Seq(Graph.VID), "left")
+        .agg(sum(coalesce(col("deg"), lit(0L))), count(lit(1))).collect()(0)
+      val deltaCount = stats.getLong(1)
+      val dense = deltaCount > denseThreshold * totalV
+      val trv = if (dense) totalEdges
+      else if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val pushFrom = if (dense) state else delta
+      val msgs = adj.join(pushFrom, adj(Graph.SRC) === pushFrom(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID), col("comp"))
         .groupBy(Graph.VID).agg(min("comp").as("cand"))
       val next = state.select(col(Graph.VID), col("comp"))
@@ -56,8 +70,12 @@ object ConnectedComponents {
         .select(col(Graph.VID),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
           (col("cand").isNotNull && col("cand") < col("comp")).as("changed"))
-      val remaining = next.filter(col("changed")).isEmpty
-      StepResult(next, trv, converged = remaining)
+      // materialize ONCE, probe the materialized frame (the isEmpty would
+      // otherwise execute the full join-aggregate plan a second time when
+      // Superstep re-materializes the state)
+      val cut = graft.core.Lineage.cut(next)
+      val remaining = cut.filter(col("changed")).isEmpty
+      StepResult(cut, trv, converged = remaining)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("comp").as("component")), outcome.metrics)

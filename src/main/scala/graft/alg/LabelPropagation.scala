@@ -86,13 +86,6 @@ object LabelPropagation {
       val newDistFlat = sums
         .join(degs.withColumnRenamed(Graph.VID, "__v"), "__v")
         .select(col("__v").as(Graph.VID), col("l"), (col("ps") / col("deg")).as("p"))
-      val pruned =
-        if (pruneTopK > 0) {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(Graph.VID).orderBy(col("p").desc, col("l"))
-          newDistFlat.withColumn("__r", row_number().over(w))
-            .filter(col("__r") <= pruneTopK).drop("__r")
-        } else newDistFlat
       // argmax with strict > over ascending l ⇒ max (p, then lowest l);
       // entries with p <= 0 can never win; empty support ⇒ label 0.
       // p is rounded to 12 decimals for the comparison ONLY: symmetric
@@ -100,9 +93,26 @@ object LabelPropagation {
       // otherwise flip the winner run-to-run (the reference is only
       // deterministic because its CSR loop order is fixed); gaps > 1e-12
       // are unaffected, ulp-noise ties collapse to the lowest label.
-      val agg = pruned.groupBy(Graph.VID).agg(
-        collect_list(struct(col("l"), col("p"))).as("dist"),
-        max(struct(round(col("p"), 12).as("p"), (-col("l")).as("nl"))).as("best"))
+      val agg =
+        if (pruneTopK > 0) {
+          // bounded top-k INSIDE the aggregate: collect once, sort by
+          // (p desc, l asc) via the (-p, l) struct order, slice k — replaces
+          // the row_number window (extra shuffle + full per-vertex sort) the
+          // round-1 bench flagged; argmax then runs over the pruned slice,
+          // exactly like the windowed form did.
+          newDistFlat.groupBy(Graph.VID)
+            .agg(collect_list(struct((-col("p")).as("np"), col("l"))).as("__all"))
+            .select(col(Graph.VID),
+              slice(array_sort(col("__all")), 1, pruneTopK).as("__topk"))
+            .select(col(Graph.VID),
+              transform(col("__topk"),
+                x => struct(x("l").as("l"), (-x("np")).as("p"))).as("dist"),
+              array_max(transform(col("__topk"),
+                x => struct(round(-x("np"), 12).as("p"), (-x("l")).as("nl")))).as("best"))
+        } else
+          newDistFlat.groupBy(Graph.VID).agg(
+            collect_list(struct(col("l"), col("p"))).as("dist"),
+            max(struct(round(col("p"), 12).as("p"), (-col("l")).as("nl"))).as("best"))
       val next = state.select(col(Graph.VID), col("label").as("old"), col("stable"))
         .join(agg, Seq(Graph.VID), "left")
         .select(col(Graph.VID),
@@ -113,9 +123,10 @@ object LabelPropagation {
         .withColumn("stable",
           when(col("label") === col("old"), col("stable") + 1).otherwise(lit(0)))
         .drop("old")
-      val unstable = next.filter(col("stable") < stableIterations).isEmpty
-      StepResult(next, edgesTraversed = eCount,
-        converged = unstable || iter >= maxIterations)
+      val cut = graft.core.Lineage.cut(next)
+      val allStable = cut.filter(col("stable") < stableIterations).isEmpty
+      StepResult(cut, edgesTraversed = eCount,
+        converged = allStable || iter >= maxIterations)
     }
     e.unpersist(blocking = false); degs.unpersist(blocking = false)
     verts.unpersist(blocking = false)

@@ -21,34 +21,61 @@ object Traversals {
 
   final case class Result(state: DataFrame, metrics: Seq[graft.core.StepMetrics])
 
-  /** BFS levels from `source`: returns (vid, cost) for reached vertices. */
+  /** BFS levels from `source`: returns (vid, cost) for reached vertices.
+   *
+   * Direction-optimizing: when the frontier exceeds `denseThreshold`·V the
+   * step flips to bottom-up — each UNVISITED vertex scans its in-neighbors
+   * for a frontier member — the reference's sparse/dense hybrid switch
+   * (`totem_bfs_hybrid.cu:128-145`, threshold `totem_alg.h:37`). Same
+   * discovered set by construction (a vertex is discovered at level l iff
+   * some in-neighbor is in the level-(l-1) frontier); the reverse adjacency
+   * is built lazily on the first dense superstep. `denseThreshold >= 1.0`
+   * disables the switch. */
   def bfs(edges: DataFrame, source: Long,
           checkpointDir: Option[String] = None,
+          denseThreshold: Double = 0.1,
           verbose: Boolean = false): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val totalV = verts.count()
+    var radj: DataFrame = null // reverse adjacency, built on first dense step
     // state: (vid, cost, frontier)
     val init = Seq((source, 0, true)).toDF(Graph.VID, "cost", "frontier")
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = 10000, checkpointDir = checkpointDir,
         verbose = verbose)) { (state, level) =>
       val frontier = state.filter(col("frontier"))
-      val trv = frontier.join(degs, Seq(Graph.VID), "left")
-        .agg(sum(coalesce(col("deg"), lit(0L)))).collect()(0) match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-      val nbrs = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
-        .select(explode(col("nbrs")).as(Graph.VID)).distinct()
-      val discovered = nbrs
-        .join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
-        .select(col(Graph.VID), lit(level).cast("int").as("cost"), lit(true).as("frontier"))
+      val stats = frontier.join(degs, Seq(Graph.VID), "left")
+        .agg(sum(coalesce(col("deg"), lit(0L))), count(lit(1))).collect()(0)
+      val trv = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+      val dense = stats.getLong(1) > denseThreshold * totalV
+      val discovered =
+        if (dense) {
+          if (radj == null)
+            radj = Adjacency.build(Graph.reverse(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+          val unvisited = verts.join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
+          radj.join(unvisited, radj(Graph.SRC) === unvisited(Graph.VID))
+            .select(radj(Graph.SRC).as(Graph.VID), explode(col("nbrs")).as("__p"))
+            .join(frontier.select(col(Graph.VID).as("__p")), Seq("__p"), "left_semi")
+            .select(col(Graph.VID)).distinct()
+            .select(col(Graph.VID), lit(level).cast("int").as("cost"), lit(true).as("frontier"))
+        } else {
+          adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+            .select(explode(col("nbrs")).as(Graph.VID)).distinct()
+            .join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
+            .select(col(Graph.VID), lit(level).cast("int").as("cost"), lit(true).as("frontier"))
+        }
       val next = state.withColumn("frontier", lit(false)).unionByName(discovered)
-      StepResult(next, trv, converged = discovered.isEmpty)
+      // materialize once; probe the materialized frame (no step re-execution)
+      val cut = graft.core.Lineage.cut(next)
+      StepResult(cut, trv, converged = cut.filter(col("frontier")).isEmpty)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    if (radj != null) radj.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("cost")), outcome.metrics)
   }
 
@@ -71,7 +98,8 @@ object Traversals {
         .join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
         .withColumn("frontier", lit(true))
       val next = state.withColumn("frontier", lit(false)).unionByName(discovered)
-      StepResult(next, 0L, converged = discovered.isEmpty)
+      val cut = graft.core.Lineage.cut(next)
+      StepResult(cut, 0L, converged = cut.filter(col("frontier")).isEmpty)
     }
     adj.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("parent")), outcome.metrics)
@@ -106,7 +134,8 @@ object Traversals {
         least(coalesce(col("dist"), lit(Double.MaxValue)),
           coalesce(col("nd"), lit(Double.MaxValue))).as("dist"),
         (col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))).as("changed"))
-      StepResult(next, 0L, converged = next.filter(col("changed")).isEmpty)
+      val cut = graft.core.Lineage.cut(next)
+      StepResult(cut, 0L, converged = cut.filter(col("changed")).isEmpty)
     }
     e.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("dist")), outcome.metrics)

@@ -80,9 +80,16 @@ object Superstep {
       val res = step(state, superstep)
       val doParquet = cfg.checkpointDir.isDefined && (superstep % cfg.checkpointEvery == 0)
       val (newState, rows, perPart) =
-        if (doParquet) writeCheckpoint(res.state, cfg, superstep)
-        else {
-          val s = materialize(res.state)
+        if (doParquet) {
+          val out = writeCheckpoint(res.state, cfg, superstep)
+          // a step that cut its own state leaves checkpoint blocks behind;
+          // the parquet copy supersedes them
+          if (res.state ne state) Lineage.release(res.state)
+          out
+        } else {
+          // steps that probe convergence materialize (Lineage.cut) their own
+          // state first — don't execute the step plan a second time here
+          val s = if (Lineage.isCut(res.state)) res.state else materialize(res.state)
           (s, s.count(), Map.empty[Int, Long])
         }
       val wallMs = (System.nanoTime() - t0) / 1000000
@@ -92,8 +99,12 @@ object Superstep {
       if (cfg.verbose)
         println(f"[superstep $superstep%3d] rows=$rows%,d trvEdges=${res.edgesTraversed}%,d " +
           f"wall=${wallMs}ms gteps=${m.gteps}%.4f converged=${res.converged}")
-      // free the previous superstep's cache
-      if (state ne newState) state.unpersist(blocking = false)
+      // free the previous superstep's cache (unpersist covers cache-manager
+      // entries from parquet re-reads; release covers localCheckpoint blocks)
+      if (state ne newState) {
+        state.unpersist(blocking = false)
+        Lineage.release(state)
+      }
       state = newState
       done = res.converged
       superstep += 1

@@ -43,6 +43,21 @@ class ConfigMatrixSpec extends SparkSpec {
       toMap[Long](graft.alg.TriangleCount.perVertex(rep)))
   }
 
+  test("BFS and WCC invariant to the sparse/dense frontier switch") {
+    // denseThreshold=0.0 forces dense (bottom-up / full-state push) from
+    // superstep 1; 1.0 forces pure sparse; default 0.1 crosses over mid-run.
+    val und = graft.core.Graph.undirected(edges).cache()
+    val src = und.agg(min("src")).collect()(0).getLong(0)
+    val sparse = toMap[Int](graft.alg.Traversals.bfs(und, src, denseThreshold = 1.0).state)
+    val dense = toMap[Int](graft.alg.Traversals.bfs(und, src, denseThreshold = 0.0).state)
+    val auto = toMap[Int](graft.alg.Traversals.bfs(und, src).state)
+    assert(sparse == dense)
+    assert(sparse == auto)
+    val wccSparse = toMap[Long](graft.alg.ConnectedComponents.run(edges, denseThreshold = 1.0).components)
+    val wccDense = toMap[Long](graft.alg.ConnectedComponents.run(edges, denseThreshold = 0.0).components)
+    assert(wccSparse == wccDense)
+  }
+
   test("parquet-checkpointed run equals in-memory run (PageRank)") {
     val dir = java.nio.file.Files.createTempDirectory("prckpt").toString
     val mem = toMap[Double](graft.alg.PageRank.run(edges).ranks)

@@ -69,6 +69,38 @@ class SuperstepSpec extends SparkSpec {
     assert(toMap[Long](resumed.components) == expected)
   }
 
+  test("cut-before-probe executes the step plan exactly once per superstep") {
+    // the convergence pattern every iterative alg uses: cut, then probe the
+    // materialized frame. A probe on the UNcut plan would re-run the UDF and
+    // double the accumulator.
+    val acc = spark.sparkContext.longAccumulator("rowEvals")
+    val touch = udf((x: Long) => { acc.add(1); x })
+    val init = spark.range(100).select(col("id").as("vid"), lit(0L).as("x"))
+    val out = Superstep.run(init, Superstep.Config(maxSupersteps = 3)) { (state, ss) =>
+      val next = state.select(col("vid"), touch(col("x") + 1).as("x"))
+      val cut = graft.core.Lineage.cut(next)
+      val anyNegative = !cut.filter(col("x") < 0).isEmpty // convergence-style probe
+      StepResult(cut, 0L, converged = anyNegative || ss == 3)
+    }
+    assert(graft.core.Lineage.isCut(out.state))
+    assert(acc.value == 300,
+      s"step plan ran ${acc.value} row-evals; expected 300 = rows × supersteps (single execution)")
+  }
+
+  test("superstep loop releases previous states' checkpoint blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Superstep.run(
+      spark.range(50).select(col("id").as("vid"), lit(0L).as("x")),
+      Superstep.Config(maxSupersteps = 10)) { (state, ss) =>
+      StepResult(state.withColumn("x", col("x") + 1), 0L, converged = ss == 10)
+    }
+    assert(out.state.count() == 50)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // 10 intermediate states were cut; without Lineage.release they all
+    // linger in the block manager until ContextCleaner GC
+    assert(after - before <= 2, s"persistent RDDs grew $before -> $after")
+  }
+
   test("metrics expose GTEPS per superstep") {
     val edges = GraphGen.chain(spark, 50)
     val res = graft.alg.PageRank.run(edges)
