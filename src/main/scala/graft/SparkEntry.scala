@@ -192,9 +192,15 @@ object SparkEntry {
       sig.select(col("doc_id") +: (0 until 8).map(i => col("sig")(i).as(s"h$i")): _*)
     }),
     "q_simhash" -> ((s, dir) =>
-      graft.dedup.SimHash.fingerprints(documents(s, dir))),
+      // md5 hash family (same statistics as the production xxhash64 family,
+      // reproducible in DuckDB); fingerprint rendered as its 64-bit string
+      graft.dedup.SimHash.md5Fingerprints(documents(s, dir))
+        .select(col("doc_id"),
+          graft.dedup.SimHash.toBitString(col("simhash")).as("simhash"))),
     "q_simhash_pairs" -> ((s, dir) =>
-      graft.dedup.SimHash.nearDupPairs(documents(s, dir), maxDistance = 10)),
+      // maxDistance=3 matches the 4-band pigeonhole guarantee exactly, so
+      // the banded join is COMPLETE and the brute-force oracle must agree
+      graft.dedup.SimHash.md5NearDupPairs(documents(s, dir), maxDistance = 3)),
 
     // ---- similarity search ----
     "q_ann_topk" -> ((s, dir) => {
@@ -391,6 +397,151 @@ object SparkEntry {
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM scored)
     SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10"""
 
+  private def bfsTreeSql: String = s"""
+    WITH RECURSIVE e0 AS ($SqlEPS),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    walk(v, d) AS (
+      SELECT (SELECT MIN(l_partkey) FROM lineitem) AS v, 0 AS d
+      UNION
+      SELECT und.dst, walk.d + 1 FROM walk JOIN und ON walk.v = und.src WHERE walk.d < 15
+    ),
+    lvl AS (SELECT v, MIN(d) AS d FROM walk GROUP BY v),
+    par AS (
+      SELECT c.v AS v, MIN(und.src) AS parent
+      FROM lvl c JOIN und ON und.dst = c.v JOIN lvl u ON u.v = und.src AND u.d = c.d - 1
+      GROUP BY c.v)
+    SELECT l.v AS vid, COALESCE(p.parent, l.v) AS parent
+    FROM lvl l LEFT JOIN par p ON l.v = p.v"""
+
+  /** Majority-vote LPA unrolled to `iterations` rounds (like pagerankSql):
+   * per round, label = most frequent neighbor label, ties → lowest. */
+  private def majorityLpaSql(iterations: Int): String = {
+    val init = s"""
+      WITH e AS (SELECT src, dst FROM ($SqlEMOD) UNION ALL SELECT dst AS src, src AS dst FROM ($SqlEMOD)),
+      v AS (SELECT DISTINCT src AS vid FROM e),
+      l0 AS (SELECT vid, vid AS label FROM v)"""
+    val rounds = (1 to iterations).map { k =>
+      s"""
+      , votes$k AS (SELECT e.src AS vid, p.label, COUNT(*) AS n
+                    FROM e JOIN l${k - 1} p ON e.dst = p.vid GROUP BY e.src, p.label)
+      , win$k AS (SELECT vid, MIN(label) AS label FROM (
+          SELECT vid, label, n, MAX(n) OVER (PARTITION BY vid) AS mx FROM votes$k)
+          WHERE n = mx GROUP BY vid)
+      , l$k AS (SELECT v.vid, COALESCE(w.label, p.label) AS label
+                FROM v LEFT JOIN win$k w ON v.vid = w.vid JOIN l${k - 1} p ON v.vid = p.vid)"""
+    }.mkString
+    init + rounds + s"\n      SELECT vid, label FROM l$iterations"
+  }
+
+  /** k-core peeling unrolled to `rounds` (peeling is monotone; a too-small
+   * unroll mismatches LOUDLY). MATERIALIZED: DuckDB would otherwise inline
+   * each CTE into its 2 consumers — exponential expansion. NOTE: `UNION`
+   * inside any CTE of a WITH RECURSIVE query is NOT deduplicated by DuckDB
+   * 1.0 — dedup must be an explicit DISTINCT (here there is no RECURSIVE,
+   * but the same explicit-DISTINCT form is used for safety). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val init = s"""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ($SqlEMOD) UNION ALL SELECT dst AS src, src AS dst FROM ($SqlEMOD)))"""
+    val peel = (1 to rounds).map { r =>
+      s"""
+      , k$r AS MATERIALIZED (SELECT src AS vid FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= $k)
+      , e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+          JOIN k$r a ON e.src = a.vid JOIN k$r b ON e.dst = b.vid)"""
+    }.mkString
+    init + peel + s"\n      SELECT DISTINCT src AS vid FROM e$rounds"
+  }
+
+  /** Max-flow closed form for the q_maxflow network, by min-cut: the DAG is
+   * source →(cap 3)→ nation →(cap 1)→ its suppliers →(cap 1)→ sink, nations
+   * independent, every supplier in exactly one nation ⇒
+   * maxflow = Σ_nation min(3, suppliers(nation)). */
+  private def maxflowSql: String = """
+    SELECT CAST(SUM(LEAST(3, cnt)) AS DOUBLE) AS max_flow
+    FROM (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey)"""
+
+  /** Brandes betweenness/stress unrolled: per root, BFS levels via a
+   * recursive CTE, sigma per level forward, dependency accumulation per
+   * level backward — the SQL mirror of `Centrality.forward`/`backward`.
+   * `depth` must exceed the roots' eccentricity (guarded in Verify via the
+   * q_apsp_sample distances, same graph + roots). The und table is built
+   * with explicit DISTINCT: DuckDB 1.0 does NOT dedup `UNION` inside CTEs
+   * under WITH RECURSIVE, and duplicated edges would double sigma. */
+  private def brandesSql(stress: Boolean, depth: Int, nRoots: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""
+    WITH RECURSIVE und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM ($SqlEMOD) UNION ALL SELECT dst AS src, src AS dst FROM ($SqlEMOD))),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM und),
+    roots AS MATERIALIZED (SELECT src AS r, ROW_NUMBER() OVER (ORDER BY src) AS ri
+      FROM (SELECT DISTINCT src FROM ($SqlEMOD) ORDER BY src LIMIT $nRoots))"""
+    val scores = Seq.newBuilder[String]
+    for (i <- 1 to nRoots) {
+      parts += s"""
+    , walk$i(v, d) AS (
+        SELECT (SELECT r FROM roots WHERE ri = $i), 0
+        UNION
+        SELECT und.dst, w.d + 1 FROM walk$i w JOIN und ON w.v = und.src WHERE w.d < $depth)
+    , lvl$i AS MATERIALIZED (SELECT v, MIN(d) AS d FROM walk$i GROUP BY v)
+    , sig${i}_0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) AS sigma FROM lvl$i WHERE d = 0)"""
+      for (l <- 1 to depth) parts += s"""
+    , sig${i}_$l AS MATERIALIZED (
+        SELECT l.v, SUM(s.sigma) AS sigma
+        FROM lvl$i l JOIN und ON und.dst = l.v JOIN sig${i}_${l - 1} s ON s.v = und.src
+        WHERE l.d = $l GROUP BY l.v)"""
+      parts += s"""
+    , del${i}_$depth AS MATERIALIZED (SELECT v, sigma, CAST(0 AS DOUBLE) AS delta FROM sig${i}_$depth)"""
+      val expr = if (stress) "s2.sigma * (1 + d.delta / d.sigma)"
+      else "(s2.sigma / d.sigma) * (1 + d.delta)"
+      for (l <- (depth - 1) to 0 by -1) parts += s"""
+    , del${i}_$l AS MATERIALIZED (
+        SELECT s.v, s.sigma, COALESCE(c.delta, 0) AS delta FROM sig${i}_$l s LEFT JOIN (
+          SELECT s2.v, SUM($expr) AS delta
+          FROM sig${i}_$l s2 JOIN und ON und.src = s2.v JOIN del${i}_${l + 1} d ON d.v = und.dst
+          GROUP BY s2.v) c ON s.v = c.v)"""
+      scores ++= (0 to depth).map(l =>
+        s"SELECT v, delta FROM del${i}_$l WHERE v <> (SELECT r FROM roots WHERE ri = $i)")
+    }
+    val u = scores.result().mkString(" UNION ALL ")
+    val (aggExpr, zero, cname) =
+      if (stress) ("CAST(ROUND(SUM(score)) AS BIGINT)", "CAST(0 AS BIGINT)", "stress")
+      else ("ROUND(SUM(score), 6)", "0.0", "betweenness")
+    parts += s"""
+    , sc AS (SELECT v AS vid, SUM(delta) AS score FROM ($u) GROUP BY v)
+    , agg AS (SELECT vid, $aggExpr AS $cname FROM sc GROUP BY vid)
+    SELECT verts.vid, COALESCE(agg.$cname, $zero) AS $cname
+    FROM verts LEFT JOIN agg ON verts.vid = agg.vid"""
+    parts.result().mkString
+  }
+
+  // md5-family simhash (SimHash.md5Fingerprints mirror): bit b of a token's
+  // hash lives in md5 hex digit (63-b)/4+1 (1-based from the left), bit b%4.
+  private def simhashVoteSql: String = {
+    val votes = (0 until 64).map { b =>
+      val j = (63 - b) / 4 + 1
+      val k = b % 4
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substring(hx, $j, 1)) - 1) >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    s"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TOK')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, concat(${(63 to 0 by -1).map(b => s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash FROM v)"""
+  }
+
+  private def simhashSql: String =
+    simhashVoteSql + "\n    SELECT doc_id, simhash FROM fp"
+
+  /** Brute-force pair verification (500 docs at verify scale): the banded
+   * Spark plan is pigeonhole-COMPLETE for d ≤ 3, so exhaustive and banded
+   * must produce identical pair sets. */
+  private def simhashPairsSql(maxDistance: Int): String =
+    simhashVoteSql + s"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) <= $maxDistance"""
+
   private def embedTopPairsSql: String = s"""
     WITH scored AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -460,8 +611,18 @@ object SparkEntry {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_sig" -> minhashSigSql,
     "q_ann_topk" -> annTopkSql,
-    "q_embed_top_pairs" -> embedTopPairsSql
-    // q_label_prop, q_majority_lpa, q_kcore, q_bfs_tree, q_simhash*,
-    // q_ann_lsh: no ANSI-SQL oracle (iterative/hash-specific) — rows-only.
+    "q_embed_top_pairs" -> embedTopPairsSql,
+    "q_bfs_tree" -> bfsTreeSql,
+    "q_majority_lpa" -> majorityLpaSql(iterations = 5),
+    "q_kcore" -> kcoreSql(k = 8, rounds = 12),
+    "q_maxflow" -> maxflowSql,
+    "q_betweenness" -> brandesSql(stress = false, depth = 8, nRoots = 3),
+    "q_stress" -> brandesSql(stress = true, depth = 8, nRoots = 3),
+    "q_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql(maxDistance = 3)
+    // q_label_prop / q_label_prop_pruned (25-iteration sparse-matrix loop
+    // with a 5-stable stop — exact-parity ScalaTest vs the Scala oracle
+    // instead) and q_ann_lsh (approximate by construction, recall-tested):
+    // rows-only.
   )
 }

@@ -15,10 +15,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The recursive-CTE oracles cap traversal depth / path cost; these
+    // guards size the caps FROM THE DATA so a dataset whose diameter or
+    // path cost outgrows a cap fails loudly instead of silently producing
+    // a bogus oracle. q_apsp_sample shares graph+roots with q_closeness,
+    // q_betweenness and q_stress (Brandes unroll depth 8); q_bfs shares
+    // graph+source with q_bfs_tree.
+    val guards: Map[String, (String, Long)] = Map(
+      "q_bfs" -> ("cost", 15L),          // bfsSql / bfsTreeSql: walk.d < 15
+      "q_apsp_sample" -> ("dist", 8L),   // brandesSql depth 8 (also < 15 cap)
+      "q_sssp" -> ("dist", 40L))         // ssspSql: walk.d < 40
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        guards.get(name).foreach { case (colName, cap) =>
+          val mx = spark.read.parquet(s"$outDir/$name")
+            .agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.col(colName).cast("double")))
+            .collect()(0).getDouble(0)
+          require(mx < cap,
+            s"$name: max($colName)=$mx breaches the oracle unroll/recursion cap $cap — " +
+              "the DuckDB oracle would silently diverge; raise the cap in SparkEntry")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -30,34 +30,56 @@ object Dedup {
   }
 
   /**
-   * Character n-gram Jaccard similarity for candidate pairs sharing ≥ 1
-   * shingle: J = |A∩B| / |A∪B| over DISTINCT shingle sets.
-   * `maxShingleFreq` drops shingles present in more documents than the cap
-   * (stopword-shingles would otherwise create O(n²) candidate pairs — the
-   * standard frequency-cap trick; dropped shingles are logged upstream).
+   * Character n-gram Jaccard similarity, EXACT, via prefix filtering
+   * (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): J = |A∩B| / |A∪B| over
+   * DISTINCT shingle sets.
+   *
+   * Candidate generation: order every document's shingles by global
+   * (frequency, shingle) — rarest first — and emit only the PREFIX of
+   * length |A| - ⌈t·|A|⌉ + 1. Two sets with J ≥ t must share a prefix
+   * shingle under any consistent total order (if all prefix shingles were
+   * disjoint, the overlap would be too small), so recall is 100%. Because
+   * hot stopword-shingles sort LAST they almost never enter a prefix —
+   * this is what kills the O(Σ freq²)-pairs blowup of a naive
+   * shared-shingle join at web scale. Candidates are then verified with
+   * the exact intersection over the full (sorted-array) shingle sets.
+   *
+   * `maxShingleFreq` remains a candidate-stage safety cap (a pair whose
+   * ONLY shared prefix shingle is hotter than the cap is dropped); at
+   * verify scale it never binds, so the DuckDB oracle (exhaustive join)
+   * still matches exactly.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
                         maxShingleFreq: Int = 1000,
                         id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col(id), explode_outer(TextAnalysis.shingles(col(text), n)).as("sh"))
       .filter(col("sh").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    // per-document rank in global (f, sh) order; window is per-doc (bounded
+    // by document length), not global
+    val ranked = sh.join(freq, "sh")
+      .withColumn("r", row_number().over(Window.partitionBy(id).orderBy(col("f"), col("sh"))))
     val sizes = sh.groupBy(id).agg(count(lit(1)).as("sz"))
-    val kept = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("f")).filter(col("f") <= maxShingleFreq),
-      "sh")
-    val inter = kept.select(col(id).as("ia"), col("sh"))
-      .join(kept.select(col(id).as("ib"), col("sh")), "sh")
+    val prefix = ranked.join(sizes, id)
+      .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("f") <= maxShingleFreq)
+    val cand = prefix.select(col(id).as("ia"), col("sh"))
+      .join(prefix.select(col(id).as("ib"), col("sh")), "sh")
       .filter(col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.select(col(id).as("ia"), col("sz").as("sa")), "ia")
-      .join(sizes.select(col(id).as("ib"), col("sz").as("sb")), "ib")
+      .select("ia", "ib").distinct()
+    // verify: exact |A∩B| on the candidates only
+    val sets = sh.groupBy(id).agg(collect_list("sh").as("set"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col(id).as("ia"), col("set").as("sa"), col("sz").as("na")), "ia")
+      .join(sets.select(col(id).as("ib"), col("set").as("sb"), col("sz").as("nb")), "ib")
       .select(col("ia").as("id_a"), col("ib").as("id_b"),
-        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+        (size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / (col("na") + col("nb") - size(array_intersect(col("sa"), col("sb")))))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    out
   }
 
   /** Near-duplicate groups from a pair table: connected components over the

@@ -69,6 +69,51 @@ class DedupSpec extends SparkSpec {
     assert(groups(0L) == 0L && groups(1L) == 0L && groups(2L) == 0L)
   }
 
+  test("prefix-filtered jaccard equals the exhaustive all-pairs computation") {
+    // exactness of the PPJoin-style candidate stage: same pair set and same
+    // jaccard values as brute force on the real documents table
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.ngramJaccardPairs(real, n = 5, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sh = real.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.shingles(col("text"), 5)).as("sh"))
+      .distinct().collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = sh(ids(i)); b = sh(ids(j))
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter) if jac >= 0.4
+    } yield ((ids(i), ids(j)), jac)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k") }
+  }
+
+  test("banded md5 simhash pairs are complete for d <= bands-1 (vs brute force)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = SimHash.md5Fingerprints(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      h = java.lang.Long.bitCount(fp(ids(i)) ^ fp(ids(j))) if h <= 3
+    } yield (ids(i), ids(j), h.toLong)).toSet
+    val banded = SimHash.md5NearDupPairs(real, maxDistance = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+  }
+
+  test("nearDupPairs enforces the pigeonhole recall contract") {
+    intercept[IllegalArgumentException] {
+      SimHash.nearDupPairs(docs, maxDistance = 10) // needs bands >= 11
+    }
+    // and the generalized banding accepts a wide-distance query when bands allow
+    val wide = SimHash.nearDupPairs(docs, maxDistance = 10, bands = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((0L, 1L)))
+  }
+
   test("works on the driver documents table") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.exactGroups(real, "doc_id", "text")
