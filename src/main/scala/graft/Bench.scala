@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /**
- * Benchmark main. Prints exactly ONE JSON line:
+ * Benchmark main. Emits exactly ONE JSON line
  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
- *  "pagerank_gteps":...,"scaling":{...}}
+ *  "scaling":{...}} — printed to stdout AND written to `bench_out.json`
+ * (cwd) so the driver's parser never depends on scraping sbt's logger
+ * prefixes.
  *
  * Two parts:
  *  1. headline queries from SparkEntry on SPARK_GRAFT_SF_DIR at the driver's
@@ -13,8 +15,12 @@ import org.apache.spark.sql.SparkSession
  *  2. the north rule's two-cluster-size scaling evidence (sandbox
  *     substitution per BASELINE.md): the SAME PageRank job on the SAME
  *     RMAT graph at local[8] vs local[32] (shuffle partitions scaled with
- *     cores), reporting per-superstep GTEPS at both and
- *     efficiency = (gteps_32 / gteps_8) / 4.
+ *     cores), reporting per-superstep GTEPS at both plus
+ *     efficiency = (gteps_4n / gteps_n) / 4. Every leg reports its full
+ *     3-run distribution, and a compute-bound local[2]→local[8] leg is
+ *     reported alongside (the 8→32 leg saturates the single socket's
+ *     memory bandwidth — one host is not 4 executors' worth of DRAM
+ *     channels; see BASELINE.md).
  */
 object Bench {
 
@@ -57,6 +63,32 @@ object Bench {
     (trv / algExecSec / 1e9, algExecSec)
   }
 
+  /** warm-up (JIT, page cache) + `n` measured runs. */
+  private def measuredRuns(cores: Int, path: String, n: Int): Seq[(Double, Double)] = {
+    val s = session(cores)
+    pagerankRun(s, path)
+    val runs = (1 to n).map(_ => pagerankRun(s, path))
+    s.stop()
+    runs
+  }
+
+  private def fmtRuns(runs: Seq[(Double, Double)]): String =
+    runs.map(r => f"${r._1}%.5f").mkString("[", ",", "]")
+
+  /** leg JSON: best-of-n gteps at both sizes + full distributions.
+   * best-of-N estimates capability rather than the noise floor (run-to-run
+   * variance is ±15% from GC/page-cache interference on a shared host). */
+  private def legJson(cN: Int, c4N: Int,
+                      rN: Seq[(Double, Double)], r4N: Seq[(Double, Double)]): String = {
+    val bN = rN.maxBy(_._1); val b4N = r4N.maxBy(_._1)
+    val eff = (b4N._1 / bN._1) / 4.0
+    f"""{"graph":"rmat_s22_ef16","cores_n":$cN,"cores_4n":$c4N,""" +
+      f""""gteps_n":${bN._1}%.5f,"gteps_4n":${b4N._1}%.5f,""" +
+      f""""wall_n_sec":${bN._2}%.2f,"wall_4n_sec":${b4N._2}%.2f,""" +
+      f""""runs_n":${fmtRuns(rN)},"runs_4n":${fmtRuns(r4N)},""" +
+      f""""efficiency":$eff%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -81,30 +113,22 @@ object Bench {
     s1.stop()
 
     // Part 2: scaling evidence (north rule, sandbox substitution): same job,
-    // same input, cores and shuffle partitions scaled 8 -> 32; first run is
-    // JIT/page-cache warm-up, the second is the measurement.
-    val scaling = Seq(8, 32).map { cores =>
-      val s = session(cores)
-      pagerankRun(s, scalePath) // warm-up (JIT, page cache)
-      // best of three measured runs per leg: run-to-run variance is ±15%
-      // (GC/page-cache interference on a shared host), best-of-N estimates
-      // capability rather than the noise floor
-      val best = (1 to 3).map(_ => pagerankRun(s, scalePath)).maxBy(_._1)
-      s.stop()
-      cores -> best
-    }.toMap
-    val g8 = scaling(8)._1
-    val g32 = scaling(32)._1
-    val eff = (g32 / g8) / 4.0
+    // same input; north-rule leg 8→32 cores plus the compute-bound 2→8 leg.
+    val r2 = measuredRuns(2, scalePath, 3)
+    val r8 = measuredRuns(8, scalePath, 3)
+    val r32 = measuredRuns(32, scalePath, 3)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    val scalingJson =
-      f"""{"graph":"rmat_s22_ef16","cores_n":8,"cores_4n":32,""" +
-        f""""gteps_n":$g8%.5f,"gteps_4n":$g32%.5f,"wall_n_sec":${scaling(8)._2}%.2f,""" +
-        f""""wall_4n_sec":${scaling(32)._2}%.2f,"efficiency":$eff%.3f}"""
+    val scalingJson = legJson(8, 32, r8, r32)
+    val computeLegJson = legJson(2, 8, r2, r8)
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
+    val line =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""scaling":$scalingJson,"scaling_compute_bound_leg":$computeLegJson}"""
+    // file first (driver-parseable without scraping the sbt logger), then stdout
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    println(line)
   }
 }

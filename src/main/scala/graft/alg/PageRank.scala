@@ -114,16 +114,20 @@ object PageRank {
       val msgs = adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID), col("stored"))
         .groupBy(Graph.VID).agg(sum("stored").as("mbox"))
-      val joined = degs
+      val next = degs
         .join(msgs, Seq(Graph.VID), "left")
-        .join(state.select(col(Graph.VID), col("value").as("old")), Seq(Graph.VID), "left")
-        .select(col(Graph.VID), col("deg"), col("old"),
+        .select(col(Graph.VID), col("deg"),
           (lit(base) + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
-      val delta = joined.agg(max(abs(col("value") - col("old")))).collect()(0).getDouble(0)
-      val next = joined.select(col(Graph.VID),
-        when(col("deg") > 0, col("value") / col("deg")).otherwise(col("value")).as("stored"),
-        col("value"))
-      StepResult(next, edgesTraversed = e, converged = delta < tol)
+        .select(col(Graph.VID),
+          when(col("deg") > 0, col("value") / col("deg")).otherwise(col("value")).as("stored"),
+          col("value"))
+      // materialize once; the L∞ probe joins two CACHED O(V) frames instead
+      // of re-executing the O(E) message plan
+      val cut = graft.core.Lineage.cut(next)
+      val delta = cut.select(col(Graph.VID), col("value"))
+        .join(state.select(col(Graph.VID), col("value").as("old")), Seq(Graph.VID))
+        .agg(max(abs(col("value") - col("old")))).collect()(0).getDouble(0)
+      StepResult(cut, edgesTraversed = e, converged = delta < tol)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
     verts.unpersist(blocking = false)

@@ -76,13 +76,12 @@ object Graph {
 
   /** Deterministic vertex relabeling (random-looking but seeded) —
    * `permute_edgelist` (`totem_generator.cc:143-159`). New ids are dense
-   * 0..V-1 assigned by hash order. */
+   * 0..V-1 assigned by hash order, via the distributed range-partitioned
+   * rank (no single-task global window). */
   def permute(edges: DataFrame, seed: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vs = vertices(edges)
-    val mapping = vs.withColumn(
-      "nid",
-      row_number().over(Window.orderBy(xxhash64(col(VID), lit(seed)), col(VID))).cast("long") - 1L)
+    val mapping = Ranking.globalRank(vs,
+      Seq(xxhash64(col(VID), lit(seed)), col(VID)), "nid")
     edges
       .join(mapping.select(col(VID).as("__v1"), col("nid").as("__n1")), col(SRC) === col("__v1"))
       .join(mapping.select(col(VID).as("__v2"), col("nid").as("__n2")), col(DST) === col("__v2"))
@@ -99,12 +98,10 @@ object Graph {
    * (`totem_generator.cc:682-720`): returns relabeled edges where id 0 is
    * the highest-degree vertex (desc) or lowest (asc). */
   def sortVerticesByDegree(edges: DataFrame, descending: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val deg = vertices(edges).join(outDegrees(edges), Seq(VID), "left")
       .select(col(VID), coalesce(col("deg"), lit(0L)).as("deg"))
-    val order = if (descending) Window.orderBy(col("deg").desc, col(VID))
-    else Window.orderBy(col("deg").asc, col(VID))
-    val mapping = deg.withColumn("nid", row_number().over(order).cast("long") - 1L)
+    val order = if (descending) Seq(col("deg").desc, col(VID)) else Seq(col("deg").asc, col(VID))
+    val mapping = Ranking.globalRank(deg, order, "nid")
     edges
       .join(mapping.select(col(VID).as("__v1"), col("nid").as("__n1")), col(SRC) === col("__v1"))
       .join(mapping.select(col(VID).as("__v2"), col("nid").as("__n2")), col(DST) === col("__v2"))

@@ -29,14 +29,11 @@ object Partitioning {
    */
   def edgeBalancedBuckets(edges: DataFrame, numBuckets: Int): DataFrame = {
     val deg = Graph.outDegrees(edges)
-    // Global ordered running sum: fine up to ~10^9 vertices with range
-    // partitioning under the hood (Window w/o partitionBy uses a single
-    // task only for rank computation of ties; to stay scalable we bucket by
-    // cumulative share computed from an ordered aggregate in two passes).
     val total = deg.agg(sum("deg")).collect()(0).getLong(0).toDouble
-    val w = Window.orderBy(col("deg").desc, col(Graph.VID))
-    deg
-      .withColumn("cum", sum("deg").over(w))
+    // distributed running sum in (deg desc, vid) order — range-partitioned
+    // per-bucket windows + broadcast prefix-sum offsets (Ranking), never a
+    // single-task global window
+    Ranking.globalRunningSum(deg, Seq(col("deg").desc, col(Graph.VID)), col("deg"), "cum")
       .withColumn("bucket",
         least(floor((col("cum") - col("deg")) / lit(total) * numBuckets),
           lit(numBuckets - 1)).cast("int"))
@@ -44,10 +41,10 @@ object Partitioning {
   }
 
   /**
-   * Scalable variant for very large vertex sets: bucket by hash of vid but
-   * give the top-K hubs dedicated buckets — approximates edge balance
-   * without a global sort. This is what production runs use; the windowed
-   * exact version above is for modest V / validation.
+   * Sort-free variant: bucket by hash of vid but give the top-K hubs
+   * dedicated buckets — approximates edge balance without any global order.
+   * Cheaper than [[edgeBalancedBuckets]] (which is itself distributed via
+   * range-partitioned running sums) when an approximate balance suffices.
    */
   def hubIsolatedBuckets(edges: DataFrame, numBuckets: Int, hubDegree: Long): DataFrame = {
     val deg = Graph.outDegrees(edges)

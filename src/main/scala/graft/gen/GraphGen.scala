@@ -50,8 +50,10 @@ object GraphGen {
           var lvl = 0
           while (lvl < scale) {
             val h = mix64(seed, i * 131L + attempt, lvl)
-            // per-level noise on the quadrant probabilities, reference-style
-            val noise = 0.95 + 0.10 * u01(mix64(seed, 0x4e01L, lvl))
+            // quadrant-probability noise drawn PER EDGE PER LEVEL, exactly
+            // like the reference (`totem_generator.cc:398-455` redraws noise
+            // inside the per-edge level loop, not once per level)
+            val noise = 0.95 + 0.10 * u01(mix64(seed ^ 0x4e01L, i * 131L + attempt, lvl))
             val aa = a * noise
             val bb = b * (2.0 - noise)
             val cc = c * (2.0 - noise)

@@ -23,13 +23,44 @@ final case class ImageFeatures(
 /**
  * Multimodal-column plumbing: schema, batch shape, partitioning and the
  * decode/feature/resize/frame-sample operator signatures are real and
- * tested; the codec itself is a clearly-marked deterministic STUB (image /
- * audio libraries are not available in this container). Swapping in a real
- * decoder changes only the function body marked STUB below — the Spark-side
- * contract (mapPartitions over Arrow-sized batches, metadata passthrough,
- * deterministic output) is unchanged.
+ * tested. Image decode is REAL for the formats the JDK ships codecs for
+ * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external jars); `raw8` stays
+ * as the deterministic test format, and audio/video codecs remain
+ * clearly-marked STUBs (no codec libraries in this container). The
+ * Spark-side contract (mapPartitions over batches, metadata passthrough,
+ * deterministic output) is identical across all of them.
  */
 object Multimodal {
+
+  /** Decoded luma plane + true dimensions. */
+  final case class Decoded(pixels: Array[Byte], width: Int, height: Int)
+
+  /** REAL decode for JDK-supported image formats; `raw8` = identity (1
+   * byte/pixel luma, the deterministic test format). Luma = BT.601
+   * (77R + 150G + 29B) >> 8 — integer form, bit-stable across platforms. */
+  def decodeLuma(m: MediaRow): Decoded = m.format match {
+    case "raw8" => Decoded(m.payload, m.width, m.height)
+    case "png" | "jpg" | "jpeg" | "gif" | "bmp" =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      require(img != null, s"media_id=${m.media_id}: undecodable ${m.format} payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val l = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+          out(y * w + x) = l.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(out, w, h)
+    case other =>
+      // ---- STUB: no codec for this format in the container ----
+      throw new UnsupportedOperationException(s"no decoder for format=$other")
+  }
 
   /** Deterministic fake corpus for tests: payload bytes derived from id. */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long): Dataset[MediaRow] = {
@@ -46,21 +77,19 @@ object Multimodal {
   }
 
   /**
-   * Decode + feature-extract. STUB DECODE: a real implementation would parse
-   * `payload` with an image codec; here the "pixels" are the raw bytes
-   * (format "raw8" = 1 byte/pixel luma), which keeps every downstream
-   * statistic real and deterministic. The mapPartitions shape (one iterator
-   * pass, no per-row JVM object churn beyond the row itself, metadata
-   * carried through) is exactly what a Pandas-UDF/mapInPandas deployment
-   * uses on a real cluster.
+   * Decode + feature-extract over the luma plane ([[decodeLuma]]: real
+   * codec for PNG/JPEG/GIF/BMP, identity for raw8). The mapPartitions shape
+   * (one iterator pass, no per-row JVM object churn beyond the row itself,
+   * metadata carried through) is exactly what a Pandas-UDF/mapInPandas
+   * deployment uses on a real cluster.
    */
   def imageFeatures(media: Dataset[MediaRow], featureDim: Int = 16): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.filter(_.kind == "image").map { m =>
-        // ---- STUB: decode(payload) -> luma plane (identity for raw8) ----
-        val pixels = m.payload
+        val dec = decodeLuma(m)
+        val pixels = dec.pixels
         var s = 0L
         var i = 0
         while (i < pixels.length) { s += (pixels(i) & 0xff); i += 1 }
@@ -73,7 +102,7 @@ object Multimodal {
           i += 1
         }
         if (pixels.length > 0) { var j = 0; while (j < featureDim) { hist(j) /= pixels.length; j += 1 } }
-        ImageFeatures(m.media_id, m.width, m.height, mean, hist)
+        ImageFeatures(m.media_id, dec.width, dec.height, mean, hist)
       }
     }
   }

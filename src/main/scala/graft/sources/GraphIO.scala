@@ -40,12 +40,24 @@ object GraphIO {
 
     val data = raw.filter(!trim(col("value")).startsWith("#") && trim(col("value")) =!= "")
       .select(split(trim(col("value")), "\\s+").as("f"))
-    // vertex-value list rows have exactly 1 field; edge rows 2..3
+    // vertex-value list rows have exactly 1 field; edge rows 2..3. The value
+    // list is POSITIONAL (line i ↦ vid i, `totem_graph.cu:30-251`), so vids
+    // must be file-order indices: zipWithIndex over the filtered lines
+    // (deterministic — Hadoop text splits enumerate in file-offset order).
+    // monotonically_increasing_id would bake partition offsets into the ids
+    // on any multi-partition read.
     val values =
-      if (hasValues) Some(
-        data.filter(size(col("f")) === 1)
-          .select(monotonically_increasing_id().as("vid"),
-            col("f")(0).cast("double").as("value")))
+      if (hasValues) Some {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+        val rdd = spark.sparkContext.textFile(path)
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .filter(_.split("\\s+").length == 1)
+          .zipWithIndex()
+          .map { case (l, i) => Row(i, l.toDouble) }
+        spark.createDataFrame(rdd, StructType(Seq(
+          StructField("vid", LongType), StructField("value", DoubleType))))
+      }
       else None
     val edges = data.filter(size(col("f")) >= 2)
       .select(col("f")(0).cast("long").as("src"), col("f")(1).cast("long").as("dst"),

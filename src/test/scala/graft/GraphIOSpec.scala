@@ -32,6 +32,26 @@ class GraphIOSpec extends SparkSpec {
     assert(rows(0).isNullAt(2)) // unweighted edge -> null weight
   }
 
+  test("vertex-value list reads positional vids, even multi-partition") {
+    val dir = Files.createTempDirectory("graphio-vals").toString
+    val n = 500
+    // format: `# NODES: n Y` then n value lines (line i -> vid i), then edges
+    val values = (0 until n).map(i => s"${i * 1.5}")
+    val edgeLines = (0 until n - 1).map(i => s"$i ${i + 1}")
+    Files.writeString(java.nio.file.Path.of(s"$dir/g.txt"),
+      (Seq(s"# NODES: $n Y", s"# EDGES: ${n - 1}", "# DIRECTED") ++ values ++ edgeLines)
+        .mkString("\n") + "\n")
+    val g = GraphIO.readText(spark, s"$dir/g.txt")
+    assert(g.vertexCount == n && g.values.isDefined)
+    val got = g.values.get.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == n)
+    (0 until n).foreach { i =>
+      assert(got(i.toLong) == i * 1.5, s"vid $i: ${got(i.toLong)}")
+    }
+    // dense 0..n-1, no partition-offset contamination
+    assert(got.keys.min == 0L && got.keys.max == (n - 1).toLong)
+  }
+
   test("parquet round-trip with bucketing column") {
     val dir = Files.createTempDirectory("graphio3").toString
     val edges = GraphGen.chain(spark, 10)

@@ -98,4 +98,26 @@ class GraphOpsSpec extends SparkSpec {
     val feats2 = Multimodal.imageFeatures(media).collect()
     assert(feats.map(_.mean_luma).toSeq == feats2.map(_.mean_luma).toSeq)
   }
+
+  test("multimodal: REAL PNG decode via javax.imageio matches a hand oracle") {
+    import graft.mm.MediaRow
+    // 4x2 grayscale gradient PNG rendered in-test
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val grays = Array(0, 51, 102, 153, 204, 255, 30, 60)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val g = grays(y * 4 + x)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(MediaRow(7L, "image", bos.toByteArray, "png", 0, 0, 0L)).toDS()
+    val f = Multimodal.imageFeatures(media).collect()(0)
+    // decoded dimensions come from the codec, not the (zeroed) metadata
+    assert(f.width == 4 && f.height == 2)
+    // gray pixel (r=g=b=v) under (77r+150g+29b)>>8 = (256*v)>>8 = v
+    val expected = grays.map(_.toDouble).sum / grays.length
+    assert(math.abs(f.mean_luma - expected) < 1e-9, s"${f.mean_luma} vs $expected")
+  }
 }

@@ -65,7 +65,26 @@ class TraversalSpec extends SparkSpec {
     val edges = k4.union(Seq((0L, 4L), (4L, 0L)).toDF("src", "dst"))
     val core2 = Cores.kCore(edges, 2).collect().map(_.getLong(0)).toSet
     assert(core2 == Set(0L, 1L, 2L, 3L))
-    val p = toMap[Int](Cores.pCores(edges, 1, 1, 4))
-    assert(p(4L) == 1 && p(0L) == 3 && p(1L) == 3) // K4 survives p=3 (deg 3)
+    val p = toMap[Double](Cores.pCores(edges, 1, 1, 4))
+    assert(p(4L) == 1.0 && p(0L) == 3.0 && p(1L) == 3.0) // K4 survives p=3 (deg 3)
+  }
+
+  test("weighted p-core peels on the SUM OF WEIGHTS (reference totem_pcores semantics)") {
+    // 4-cycle with heavy edges (w=2 each: weighted deg 4) plus a pendant on a
+    // light edge (w=0.5): hand oracle for thresholds 1,2,3,4:
+    //   pendant 4: wdeg 0.5 -> survives nothing -> pcore 0
+    //   vertex 0 : 2+2+0.5 = 4.5, but once 4 peels, 0 has 4.0 -> survives p=4
+    //   1,2,3    : wdeg 4.0 -> pcore 4
+    // unweighted for contrast: cycle degrees 2 (+1 pendant edge on 0)
+    val cyc = Seq((0L, 1L, 2.0), (1L, 2L, 2.0), (2L, 3L, 2.0), (3L, 0L, 2.0), (0L, 4L, 0.5))
+    val edges = cyc.toDF("src", "dst", "weight")
+    val pw = toMap[Double](Cores.pCores(edges, 1, 1, 5, weighted = true))
+    assert(pw(4L) == 0.0, s"pendant got ${pw(4L)}")
+    assert(pw(0L) == 4.0 && pw(1L) == 4.0 && pw(2L) == 4.0 && pw(3L) == 4.0, pw.toString)
+    val pu = toMap[Double](Cores.pCores(edges, 1, 1, 5, weighted = false))
+    assert(pu(4L) == 1.0 && pu(0L) == 2.0 && pu(1L) == 2.0, pu.toString)
+    // weighted kCore directly: threshold 4 keeps only the cycle
+    val k4 = Cores.kCore(edges, 4.0, weighted = true).collect().map(_.getLong(0)).toSet
+    assert(k4 == Set(0L, 1L, 2L, 3L))
   }
 }
