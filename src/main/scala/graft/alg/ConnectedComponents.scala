@@ -42,12 +42,15 @@ object ConnectedComponents {
     val und = Graph.undirected(edges)
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(und).persist(StorageLevel.MEMORY_AND_DISK)
-    val totalEdges = und.count()
+    // V and ΣE from the (cached, loop-reused) degree table in ONE job — on a
+    // symmetrized graph every vertex has an out-edge, so rows(degs) = V
+    val ve = degs.agg(count(lit(1)), sum("deg")).collect()(0)
+    val totalV = ve.getLong(0)
+    val totalEdges = if (ve.isNullAt(1)) 0L else ve.getLong(1)
 
     // state: (vid, comp, changed)
     val init = Graph.vertices(und)
       .select(col(Graph.VID), col(Graph.VID).as("comp"), lit(true).as("changed"))
-    val totalV = Graph.vertices(und).count()
 
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxSupersteps, checkpointDir = checkpointDir,

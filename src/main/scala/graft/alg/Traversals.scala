@@ -39,9 +39,12 @@ object Traversals {
     import spark.implicits._
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val totalV = verts.count()
-    var radj: DataFrame = null // reverse adjacency, built on first dense step
+    // threshold denominator: vertices WITH out-edges (rows of the cached,
+    // loop-reused degree table — no extra distinct-vertices job; on the
+    // symmetric graphs bottom-up applies to this IS V)
+    val totalV = degs.count()
+    var verts: DataFrame = null // full vertex set, built on first dense step
+    var radj: DataFrame = null  // reverse adjacency, built on first dense step
     // state: (vid, cost, frontier)
     val init = Seq((source, 0, true)).toDF(Graph.VID, "cost", "frontier")
     val outcome = Superstep.run(init,
@@ -54,8 +57,10 @@ object Traversals {
       val dense = stats.getLong(1) > denseThreshold * totalV
       val discovered =
         if (dense) {
-          if (radj == null)
+          if (radj == null) {
             radj = Adjacency.build(Graph.reverse(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+            verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+          }
           val unvisited = verts.join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
           radj.join(unvisited, radj(Graph.SRC) === unvisited(Graph.VID))
             .select(radj(Graph.SRC).as(Graph.VID), explode(col("nbrs")).as("__p"))
@@ -74,7 +79,7 @@ object Traversals {
       StepResult(cut, trv, converged = cut.filter(col("frontier")).isEmpty)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
-    verts.unpersist(blocking = false)
+    if (verts != null) verts.unpersist(blocking = false)
     if (radj != null) radj.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("cost")), outcome.metrics)
   }

@@ -90,7 +90,10 @@ object Superstep {
           // steps that probe convergence materialize (Lineage.cut) their own
           // state first — don't execute the step plan a second time here
           val s = if (Lineage.isCut(res.state)) res.state else materialize(res.state)
-          (s, s.count(), Map.empty[Int, Long])
+          // the row count is ledger-only; skip the extra per-superstep job
+          // unless someone reads it (manifest path counts via partitions)
+          val rows = if (cfg.verbose) s.count() else -1L
+          (s, rows, Map.empty[Int, Long])
         }
       val wallMs = (System.nanoTime() - t0) / 1000000
       val m = StepMetrics(superstep, wallMs, rows, res.edgesTraversed, res.converged)

@@ -51,9 +51,13 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
                         maxShingleFreq: Int = 1000,
-                        id: String = "doc_id", text: String = "text"): DataFrame = {
+                        id: String = "doc_id", text: String = "text",
+                        bitmapMaxUniverse: Long = BitmapMaxUniverse): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(id), explode_outer(TextAnalysis.shingles(col(text), n)).as("sh"))
+    // normalization hoisted into a projection: nested in the shingle lambda
+    // it would re-execute per array element (O(L²) per document)
+    val sh = docs.select(col(id), TextAnalysis.normalizeForShingles(col(text)).as("__t"))
+      .select(col(id), explode_outer(TextAnalysis.rawShingles(col("__t"), n)).as("sh"))
       .filter(col("sh").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -66,21 +70,67 @@ object Dedup {
     val prefix = ranked.join(sizes, id)
       .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .filter(col("f") <= maxShingleFreq)
-    val cand = prefix.select(col(id).as("ia"), col("sh"))
-      .join(prefix.select(col(id).as("ib"), col("sh")), "sh")
+    // PPJoin POSITIONAL filter (Xiao et al.), applied per joined row BEFORE
+    // the distinct: a shared prefix shingle at ranks (ra, rb) bounds the
+    // overlap by 1 + min(|A|-ra, |B|-rb) (everything shared sorts at or
+    // after it), and J ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|). For the FIRST
+    // common shingle the bound ≥ the true overlap, so no qualifying pair is
+    // lost — but corpus-wide stopword-ish shingles (late ranks everywhere)
+    // stop producing candidates, which is what kills the near-all-pairs
+    // blowup on vocabulary-heavy corpora.
+    val alpha = lit(threshold / (1.0 + threshold))
+    val cand = prefix.select(col(id).as("ia"), col("sh"), col("r").as("ra"), col("sz").as("na"))
+      .join(prefix.select(col(id).as("ib"), col("sh"), col("r").as("rb"), col("sz").as("nb")), "sh")
       .filter(col("ia") < col("ib"))
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) + lit(1e-9)
+        >= alpha * (col("na") + col("nb")))
       .select("ia", "ib").distinct()
-    // verify: exact |A∩B| on the candidates only
-    val sets = sh.groupBy(id).agg(collect_list("sh").as("set"), count(lit(1)).as("sz"))
-    cand
-      .join(sets.select(col(id).as("ia"), col("set").as("sa"), col("sz").as("na")), "ia")
-      .join(sets.select(col(id).as("ib"), col("set").as("sb"), col("sz").as("nb")), "ib")
-      .select(col("ia").as("id_a"), col("ib").as("id_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / (col("na") + col("nb") - size(array_intersect(col("sa"), col("sb")))))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // verify: exact |A∩B| on the candidates only. Two physical strategies,
+    // same exact semantics (an AQE-style adaptive choice):
+    //  - small shingle UNIVERSE (vocabulary-limited corpora — where, notably,
+    //    candidate pruning is weakest and candidate counts largest): encode
+    //    each doc's set as a fixed-width bitmap over dense shingle ids;
+    //    |A∩B| = Σ bit_count(a & b) via zip_with — pure codegen'd integer
+    //    ops, ~50× cheaper per pair than hashing string arrays;
+    //  - huge universe (real web text): per-pair array_intersect on the
+    //    string sets (candidates are few there — discriminative shingles
+    //    make the prefix filter selective).
+    val universe = freq.count()
+    if (universe <= bitmapMaxUniverse) {
+      val width = ((universe + 63) / 64).toInt
+      val sid = sh.join(
+        graft.core.Ranking.globalRank(freq.select("sh"), Seq(col("sh")), "sid", buckets = 32),
+        "sh").select(col(id), col("sid"))
+      val bm = sid.groupBy(id).agg(collect_list(col("sid")).as("sids"))
+        .select(col(id), size(col("sids")).as("sz"), expr(
+          s"""aggregate(sids, array_repeat(CAST(0 AS BIGINT), $width),
+             |  (acc, s) -> transform(acc, (x, i) ->
+             |    CASE WHEN i = CAST(s / 64 AS INT)
+             |         THEN x | shiftleft(CAST(1 AS BIGINT), CAST(s % 64 AS INT))
+             |         ELSE x END))""".stripMargin).as("bm"))
+      cand
+        .join(bm.select(col(id).as("ia"), col("bm").as("ba"), col("sz").as("na")), "ia")
+        .join(bm.select(col(id).as("ib"), col("bm").as("bb"), col("sz").as("nb")), "ib")
+        .withColumn("inter",
+          expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"))
+        .select(col("ia").as("id_a"), col("ib").as("id_b"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val sets = sh.groupBy(id).agg(collect_list("sh").as("set"), count(lit(1)).as("sz"))
+      cand
+        .join(sets.select(col(id).as("ia"), col("set").as("sa"), col("sz").as("na")), "ia")
+        .join(sets.select(col(id).as("ib"), col("set").as("sb"), col("sz").as("nb")), "ib")
+        .select(col("ia").as("id_a"), col("ib").as("id_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double")
+            / (col("na") + col("nb") - size(array_intersect(col("sa"), col("sb")))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
+
+  /** Universe cap for the bitmap verify path: 2^18 ids = 4 KiB/doc bitmap. */
+  final val BitmapMaxUniverse = 1L << 18
 
   /** Near-duplicate groups from a pair table: connected components over the
    * pair graph (HashMin), then keeper = min id per group. */

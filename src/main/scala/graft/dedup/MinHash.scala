@@ -22,11 +22,17 @@ import graft.text.TextAnalysis
  */
 object MinHash {
 
+  /** Distinct (id, sh) shingle rows with normalization hoisted into a
+   * projection (inside the shingle lambda it re-executes per element). */
+  private def shingleRows(docs: DataFrame, n: Int, id: String, text: String): DataFrame =
+    docs.select(col(id), TextAnalysis.normalizeForShingles(col(text)).as("__t"))
+      .select(col(id), explode(TextAnalysis.rawShingles(col("__t"), n)).as("sh"))
+      .distinct()
+
   /** (id, sig: array<long>) — k numeric minhashes over char n-gram shingles. */
   def signatures(docs: DataFrame, k: Int = 128, n: Int = 5,
                  id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sh = docs.select(col(id), explode(TextAnalysis.shingles(col(text), n)).as("sh"))
-      .distinct()
+    val sh = shingleRows(docs, n, id, text)
     val minhashes = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     sh.groupBy(id).agg(minhashes.head, minhashes.tail: _*)
       .select(col(id), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -71,8 +77,7 @@ object MinHash {
    * identical in Spark and DuckDB. */
   def md5Signatures(docs: DataFrame, k: Int, n: Int,
                     id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sh = docs.select(col(id), explode(TextAnalysis.shingles(col(text), n)).as("sh"))
-      .distinct()
+    val sh = shingleRows(docs, n, id, text)
     val minhashes = (0 until k).map(i =>
       min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"h$i"))
     sh.groupBy(id).agg(minhashes.head, minhashes.tail: _*)

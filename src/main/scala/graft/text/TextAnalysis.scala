@@ -81,13 +81,27 @@ object TextAnalysis {
 
   /** Character n-gram shingles of the whitespace-normalized lowercase text.
    * Empty array when the text is shorter than n. */
-  def shingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
+  /** Whitespace normalization used by character shingles. Hoist this into a
+   * projection and shingle the RESULT with [[rawShingles]] in hot paths: an
+   * expression nested inside the `transform` lambda re-executes per array
+   * element (no subexpression elimination across lambda scopes), turning
+   * shingling O(L) into O(L·len(regex output)) per document. */
+  def normalizeForShingles(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Character n-gram shingles of an ALREADY-normalized column (pass an
+   * attribute, not an expression — see [[normalizeForShingles]]). */
+  def rawShingles(norm: Column, n: Int): Column = {
     val cnt = length(norm) - (n - 1)
     // sequence(1, 0) would yield a DESCENDING [1,0] — guard short texts
     when(cnt >= 1, transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience one-shot form (normalization re-evaluates per element —
+   * fine for tests/small inputs; hot paths pre-project). */
+  def shingles(text: Column, n: Int): Column =
+    rawShingles(normalizeForShingles(text), n)
 
   /** Word n-gram shingles. */
   def wordShingles(text: Column, n: Int): Column = {

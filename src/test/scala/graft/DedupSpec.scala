@@ -88,6 +88,12 @@ class DedupSpec extends SparkSpec {
     } yield ((ids(i), ids(j)), jac)).toMap
     assert(got.keySet == want.keySet)
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k") }
+    // both physical verify strategies (bitmap / string-array) are exact:
+    // force the array path and compare
+    val arr = Dedup.ngramJaccardPairs(real, n = 5, threshold = 0.4, bitmapMaxUniverse = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(arr.keySet == want.keySet)
+    arr.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"array path $k") }
   }
 
   test("banded md5 simhash pairs are complete for d <= bands-1 (vs brute force)") {
