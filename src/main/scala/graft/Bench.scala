@@ -93,8 +93,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // Part 1: headline queries
+    // Part 1: headline queries. One untimed warm-up first: the first query
+    // in a fresh JVM otherwise pays 5-10 s of shared JIT/codegen/parquet-
+    // reader warm-up that belongs to the harness, not the operator (verified
+    // by permuting the query order).
     val s1 = session(cpus)
+    try {
+      SparkEntry.queries("q_out_degree")(s1, sfDir).count()
+      SparkEntry.queries("q_pagerank")(s1, sfDir).count()
+    } catch { case _: Throwable => }
     val results = Headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -30,10 +30,13 @@ object Traversals {
    * discovered set by construction (a vertex is discovered at level l iff
    * some in-neighbor is in the level-(l-1) frontier); the reverse adjacency
    * is built lazily on the first dense superstep. `denseThreshold >= 1.0`
-   * disables the switch. */
+   * disables the switch; `denseMinV` gates it to graphs big enough that the
+   * one-off reverse-adjacency build (an O(E) shuffle) can amortize — on
+   * small graphs top-down always wins. */
   def bfs(edges: DataFrame, source: Long,
           checkpointDir: Option[String] = None,
           denseThreshold: Double = 0.1,
+          denseMinV: Long = 1L << 20,
           verbose: Boolean = false): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -54,7 +57,7 @@ object Traversals {
       val stats = frontier.join(degs, Seq(Graph.VID), "left")
         .agg(sum(coalesce(col("deg"), lit(0L))), count(lit(1))).collect()(0)
       val trv = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-      val dense = stats.getLong(1) > denseThreshold * totalV
+      val dense = totalV >= denseMinV && stats.getLong(1) > denseThreshold * totalV
       val discovered =
         if (dense) {
           if (radj == null) {

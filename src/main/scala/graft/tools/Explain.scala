@@ -26,10 +26,15 @@ object Explain {
     val state = Graph.vertices(edges).select(col("vid"), lit(0.1).as("stored"))
       .persist()
     state.count()
-    val msgs = adj.join(state, adj("src") === state("vid"))
+    val msgs = adj.join(state.hint("shuffle_hash"), adj("src") === state("vid"))
       .select(explode(col("nbrs")).as("vid"), col("stored"))
       .groupBy("vid").agg(sum("stored").as("mbox"))
     msgs.explain("formatted")
+
+    println("==== ngram-jaccard bitmap verify (candidates ⋈ bitmaps, zip_with/bit_count) ====")
+    graft.dedup.Dedup.ngramJaccardPairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      n = 5, threshold = 0.5).explain("formatted")
 
     println("==== Triangle wedge join ====")
     graft.alg.TriangleCount.triangles(graft.alg.TriangleCount.canonical(edges))

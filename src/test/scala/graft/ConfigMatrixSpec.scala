@@ -49,8 +49,9 @@ class ConfigMatrixSpec extends SparkSpec {
     val und = graft.core.Graph.undirected(edges).cache()
     val src = und.agg(min("src")).collect()(0).getLong(0)
     val sparse = toMap[Int](graft.alg.Traversals.bfs(und, src, denseThreshold = 1.0).state)
-    val dense = toMap[Int](graft.alg.Traversals.bfs(und, src, denseThreshold = 0.0).state)
-    val auto = toMap[Int](graft.alg.Traversals.bfs(und, src).state)
+    val dense = toMap[Int](
+      graft.alg.Traversals.bfs(und, src, denseThreshold = 0.0, denseMinV = 0L).state)
+    val auto = toMap[Int](graft.alg.Traversals.bfs(und, src, denseMinV = 0L).state)
     assert(sparse == dense)
     assert(sparse == auto)
     val wccSparse = toMap[Long](graft.alg.ConnectedComponents.run(edges, denseThreshold = 1.0).components)
