@@ -33,17 +33,27 @@ object Bench {
     "q_out_degree", "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality", "q_ngram_jaccard")
 
-  private def session(cores: Int): SparkSession = {
+  /** `parts` defaults to `cores` for the headline-query part; the scaling
+   * legs pass a FIXED count instead — on a real cluster the partitioning is
+   * a property of the DATA (sized so a partition fits executor memory) and
+   * stays constant while executors scale N→4N; scaling partitions with
+   * cores would shrink per-task map-side combining (measured: 148M → 219M
+   * shuffle records on the same job at parts 8 → 32), an artifact a
+   * multi-executor cluster does not have. */
+  private def session(cores: Int, parts: Int = -1): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", if (parts > 0) parts else cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // shuffle to tmpfs: a cluster's per-executor NVMe scales with N; this
       // box's single /tmp disk does not — see BASELINE.md scaling notes
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      // the sandbox hypervisor occasionally stalls the whole VM for minutes;
+      // don't let the heartbeat receiver kill the local executor over it
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -63,14 +73,19 @@ object Bench {
     (trv / algExecSec / 1e9, algExecSec)
   }
 
-  /** warm-up (JIT, page cache) + `n` measured runs. */
+  /** warm-up (JIT, page cache) + `n` measured runs; shuffle partitions fixed
+   * at the data-sized count across all parallelism levels (see [[session]]). */
   private def measuredRuns(cores: Int, path: String, n: Int): Seq[(Double, Double)] = {
-    val s = session(cores)
+    val s = session(cores, parts = ScalingParts)
     pagerankRun(s, path)
     val runs = (1 to n).map(_ => pagerankRun(s, path))
     s.stop()
     runs
   }
+
+  /** one partition ≈ 2.1M edges of the s22 graph — fits executor memory
+   * with headroom; held constant across the 2/8/32-core legs. */
+  private val ScalingParts = 32
 
   private def fmtRuns(runs: Seq[(Double, Double)]): String =
     runs.map(r => f"${r._1}%.5f").mkString("[", ",", "]")

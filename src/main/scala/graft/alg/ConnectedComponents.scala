@@ -33,11 +33,21 @@ object ConnectedComponents {
    * nothing its neighbors have not already seen), but the plan skips the
    * filter + small-side rebuild that stops paying once the frontier is most
    * of the graph. `denseThreshold >= 1.0` disables the switch. */
+  /** `pointerJump`: per superstep, after the HashMin relax, compress paths
+   * with comp' ← comp_old(relaxed comp) — the Spark-relational form of the
+   * pointer-jumping step in MapReduce-CC (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond"). Labels only decrease (comp(x) ≤ x
+   * and comp(x) is in x's component), so the fixpoint is unchanged — the
+   * min vertex id per component — but min-label distances halve per round:
+   * convergence drops from O(label diameter) toward O(log d) supersteps,
+   * two extra O(V) shuffles per superstep in exchange for skipped O(E)
+   * message rounds. Turn off for strict per-round reference tracing. */
   def run(edges: DataFrame,
           checkpointDir: Option[String] = None,
           resume: Boolean = false,
           maxSupersteps: Int = 200,
           denseThreshold: Double = 0.1,
+          pointerJump: Boolean = true,
           verbose: Boolean = false): Result = {
     val und = Graph.undirected(edges)
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
@@ -48,37 +58,54 @@ object ConnectedComponents {
     val totalV = ve.getLong(0)
     val totalEdges = if (ve.isNullAt(1)) 0L else ve.getLong(1)
 
-    // state: (vid, comp, changed)
-    val init = Graph.vertices(und)
-      .select(col(Graph.VID), col(Graph.VID).as("comp"), lit(true).as("changed"))
+    // state: (vid, comp, changed, deg) — deg rides along so the per-superstep
+    // frontier stats are a scan of the cached state, not a join against degs
+    val init = degs
+      .select(col(Graph.VID), col(Graph.VID).as("comp"), lit(true).as("changed"),
+        col("deg"))
 
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxSupersteps, checkpointDir = checkpointDir,
         resume = resume, verbose = verbose)) { (state, _) =>
-      val delta = state.filter(col("changed"))
-      // edges traversed + frontier size in ONE tiny job — the metric the
-      // reference reports per traversal (`totem_benchmark_binary.cu:133-156`)
-      val stats = delta.join(degs, Seq(Graph.VID), "left")
-        .agg(sum(coalesce(col("deg"), lit(0L))), count(lit(1))).collect()(0)
+      // edges traversed + frontier size in ONE tiny job (scan of the cached
+      // cut state) — the metric the reference reports per traversal
+      // (`totem_benchmark_binary.cu:133-156`); doubles as the convergence
+      // check, replacing round 1's per-superstep isEmpty probe
+      val stats = state.filter(col("changed"))
+        .agg(coalesce(sum("deg"), lit(0L)), count(lit(1))).collect()(0)
       val deltaCount = stats.getLong(1)
-      val dense = deltaCount > denseThreshold * totalV
-      val trv = if (dense) totalEdges
-      else if (stats.isNullAt(0)) 0L else stats.getLong(0)
-      val pushFrom = if (dense) state else delta
-      val msgs = adj.join(pushFrom, adj(Graph.SRC) === pushFrom(Graph.VID))
-        .select(explode(col("nbrs")).as(Graph.VID), col("comp"))
-        .groupBy(Graph.VID).agg(min("comp").as("cand"))
-      val next = state.select(col(Graph.VID), col("comp"))
-        .join(msgs, Seq(Graph.VID), "left")
-        .select(col(Graph.VID),
-          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
-          (col("cand").isNotNull && col("cand") < col("comp")).as("changed"))
-      // materialize ONCE, probe the materialized frame (the isEmpty would
-      // otherwise execute the full join-aggregate plan a second time when
-      // Superstep re-materializes the state)
-      val cut = graft.core.Lineage.cut(next)
-      val remaining = cut.filter(col("changed")).isEmpty
-      StepResult(cut, trv, converged = remaining)
+      if (deltaCount == 0L) StepResult(state, 0L, converged = true)
+      else {
+        val dense = deltaCount > denseThreshold * totalV
+        val trv = if (dense) totalEdges else stats.getLong(0)
+        val pushFrom = if (dense) state else state.filter(col("changed"))
+        val msgs = adj.join(pushFrom.hint("shuffle_hash"),
+            adj(Graph.SRC) === pushFrom(Graph.VID))
+          .select(explode(col("nbrs")).as(Graph.VID), col("comp"))
+          .groupBy(Graph.VID).agg(min("comp").as("cand"))
+        // shuffle_hash on the O(V) msgs side: SMJ would re-sort both O(V)
+        // frames every superstep for no benefit (the output is re-hashed by
+        // the next superstep anyway)
+        val relaxed = state.select(col(Graph.VID), col("comp"), col("deg"))
+          .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
+          .select(col(Graph.VID), col("deg"), col("comp").as("old"),
+            least(col("comp"), coalesce(col("cand"), col("comp"))).as("m"))
+        val next =
+          if (pointerJump)
+            relaxed.join(
+                state.select(col(Graph.VID).as("__j"), col("comp").as("__jc"))
+                  .hint("shuffle_hash"),
+                col("m") === col("__j"), "left")
+              .select(col(Graph.VID),
+                coalesce(col("__jc"), col("m")).as("comp"),
+                (coalesce(col("__jc"), col("m")) < col("old")).as("changed"),
+                col("deg"))
+          else
+            relaxed.select(col(Graph.VID), col("m").as("comp"),
+              (col("m") < col("old")).as("changed"), col("deg"))
+        // materialize ONCE (Superstep skips re-materializing a cut frame)
+        StepResult(graft.core.Lineage.cut(next), trv, converged = false)
+      }
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("comp").as("component")), outcome.metrics)

@@ -66,8 +66,10 @@ object PageRank {
         .select(explode(col("nbrs")).as(Graph.VID), col("stored"))
         .groupBy(Graph.VID)
         .agg(sum("stored").as("mbox"))
+      // shuffle_hash on the O(V) mailbox side: without it the planner picks
+      // sort-merge and re-sorts two O(V) frames every superstep
       val updated = degs
-        .join(msgs, Seq(Graph.VID), "left")
+        .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
         .select(col(Graph.VID), col("deg"),
           (lit(base) + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
       val next =
@@ -115,7 +117,7 @@ object PageRank {
         .select(explode(col("nbrs")).as(Graph.VID), col("stored"))
         .groupBy(Graph.VID).agg(sum("stored").as("mbox"))
       val next = degs
-        .join(msgs, Seq(Graph.VID), "left")
+        .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
         .select(col(Graph.VID), col("deg"),
           (lit(base) + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
         .select(col(Graph.VID),

@@ -54,8 +54,13 @@ object Traversals {
       Superstep.Config(maxSupersteps = 10000, checkpointDir = checkpointDir,
         verbose = verbose)) { (state, level) =>
       val frontier = state.filter(col("frontier"))
+      // frontier size + edges-to-scan in one tiny job; frontier == 0 IS the
+      // convergence check (replaces a per-superstep isEmpty probe of the cut
+      // state with one extra cheap superstep at the end)
       val stats = frontier.join(degs, Seq(Graph.VID), "left")
         .agg(sum(coalesce(col("deg"), lit(0L))), count(lit(1))).collect()(0)
+      if (stats.getLong(1) == 0L) StepResult(state, 0L, converged = true)
+      else {
       val trv = if (stats.isNullAt(0)) 0L else stats.getLong(0)
       val dense = totalV >= denseMinV && stats.getLong(1) > denseThreshold * totalV
       val discovered =
@@ -77,9 +82,8 @@ object Traversals {
             .select(col(Graph.VID), lit(level).cast("int").as("cost"), lit(true).as("frontier"))
         }
       val next = state.withColumn("frontier", lit(false)).unionByName(discovered)
-      // materialize once; probe the materialized frame (no step re-execution)
-      val cut = graft.core.Lineage.cut(next)
-      StepResult(cut, trv, converged = cut.filter(col("frontier")).isEmpty)
+      StepResult(graft.core.Lineage.cut(next), trv, converged = false)
+      }
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
     if (verts != null) verts.unpersist(blocking = false)
@@ -136,7 +140,7 @@ object Traversals {
         .select(col(Graph.DST).as(Graph.VID), (col("dist") + col("weight")).as("nd"))
         .groupBy(Graph.VID).agg(min("nd").as("nd"))
       val joined = state.select(col(Graph.VID), col("dist"))
-        .join(relax, Seq(Graph.VID), "full")
+        .join(relax.hint("shuffle_hash"), Seq(Graph.VID), "full")
       val next = joined.select(
         col(Graph.VID),
         least(coalesce(col("dist"), lit(Double.MaxValue)),

@@ -1,60 +1,109 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.LongAdder
 
-/** Quick iteration harness for the two-parallelism scaling experiment —
- * runs only Bench's part 2 (PageRank on the cached RMAT parquet at
- * local[8] vs local[32]) with per-superstep metrics printed.
- * Usage: runMain graft.tools.ScalingProbe [scale] [edgeFactor] */
+/**
+ * Tuning harness for the north rule's two-cluster-size scaling leg: runs the
+ * SAME 5-round PageRank on the SAME pre-generated RMAT graph under a matrix
+ * of config variants and core counts, reporting per-run GTEPS plus total
+ * shuffle bytes/records (the bandwidth evidence — this host's single socket
+ * is the bottleneck at 32 cores, see BASELINE.md).
+ *
+ * Usage: sbt "runMain graft.tools.ScalingProbe [scale] [cores,cores,...] [variant,...]"
+ * Variants: base | zstd | nocomp | snappy | cache_uncomp | noaqe, with
+ * suffixes _part2x (2×cores shuffle partitions) / _fp (fixed data-sized 32);
+ * prefix wcc_/wccnj_ runs WCC (pointer jumping on/off) instead of PageRank.
+ */
 object ScalingProbe {
+
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new LongAdder; val records = new LongAdder
+    val readBytes = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        bytes.add(m.shuffleWriteMetrics.bytesWritten)
+        records.add(m.shuffleWriteMetrics.recordsWritten)
+        readBytes.add(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { bytes.reset(); records.reset(); readBytes.reset() }
+  }
+
+  private def session(cores: Int, variant: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-probe-$variant-$cores")
+      .config("spark.sql.shuffle.partitions",
+        if (variant.endsWith("part2x")) cores * 2
+        else if (variant.endsWith("fp")) 32 // fixed, data-sized (cluster-faithful)
+        else cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", variant != "noaqe")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      // the sandbox host occasionally stalls the whole VM for >2 min; do not
+      // let the heartbeat receiver kill the local executor over it
+      .config("spark.network.timeout", "600s")
+    variant match {
+      case "zstd"   => b.config("spark.io.compression.codec", "zstd")
+      case "snappy" => b.config("spark.io.compression.codec", "snappy")
+      case "nocomp" => b.config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+      case "cache_uncomp" => b.config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      case _ =>
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
-    val scale = args.lift(0).map(_.toInt).getOrElse(20)
-    val ef = args.lift(1).map(_.toInt).getOrElse(16)
-    val coresN = args.lift(2).map(_.toInt).getOrElse(8)
-    val cores4N = args.lift(3).map(_.toInt).getOrElse(32)
+    val scale = args.headOption.map(_.toInt).getOrElse(22)
+    val coreSets = args.lift(1).getOrElse("8,32").split(",").map(_.trim.toInt).toSeq
+    val variants = args.lift(2).getOrElse("base").split(",").map(_.trim).toSeq
     val path = s"/tmp/graft_bench_rmat_s$scale"
 
-    // shuffle partitions are a property of the DATA (sized so a partition
-    // fits in memory), not of the core count — fixing them across the two
-    // parallelism levels isolates the resource-scaling effect, exactly as a
-    // cluster keeps partitioning fixed while executors scale N -> 4N
-    val parts = args.lift(4).map(_.toInt)
-    def session(cores: Int): SparkSession = {
-      val s = SparkSession.builder().master(s"local[$cores]")
-        .appName(s"scaling-$cores")
-        .config("spark.sql.shuffle.partitions", parts.getOrElse(cores))
-        // shuffle to tmpfs: a single box's /tmp disk does NOT scale with
-        // cores the way per-executor NVMe scales with executors on a
-        // cluster; shm removes that artifact from the scaling measurement
-        .config("spark.local.dir", "/dev/shm/graft-spark-local")
-        .config("spark.sql.inMemoryColumnarStorage.compressed",
-          sys.props.getOrElse("graft.cache.compressed", "true"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
-      val s = session(32)
-      graft.gen.GraphGen.rmat(s, scale, ef, seed = 1985)
-        .write.mode("overwrite").parquet(path)
+      val s = session(32, "base")
+      graft.gen.GraphGen.rmat(s, scale, 16, seed = 1985).write.mode("overwrite").parquet(path)
       s.stop()
     }
 
-    val results = Seq(coresN, cores4N).map { cores =>
-      val s = session(cores)
+    val sb = new StringBuilder("variant,cores,run,gteps,wall_sec,shuf_write_mb,shuf_records\n")
+    for (v <- variants; c <- coreSets) {
+      val s = session(c, v.stripPrefix("wcc_").stripPrefix("wccnj_"))
+      val meter = new ShuffleMeter
+      s.sparkContext.addSparkListener(meter)
       val edges = s.read.parquet(path)
-      // warm-up
-      graft.alg.PageRank.run(edges)
-      val res = graft.alg.PageRank.run(edges, verbose = true)
-      val algExec = res.metrics.map(_.wallMs).sum / 1000.0
-      val trv = res.metrics.map(_.edgesTraversed).sum
-      val g = trv / algExec / 1e9
-      println(f"[scaling] cores=$cores alg_exec=${algExec}%.2fs gteps=$g%.5f")
+      def once(): (Double, Double, Int) =
+        if (v.startsWith("wcc")) {
+          // WCC leg: wall + supersteps (pointer jumping on unless wccnj_*)
+          val t0 = System.nanoTime()
+          val res = graft.alg.ConnectedComponents.run(edges, pointerJump = !v.startsWith("wccnj"))
+          res.components.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          (res.metrics.map(_.edgesTraversed).sum / wall / 1e9, wall, res.metrics.size)
+        } else {
+          val res = graft.alg.PageRank.run(edges)
+          val trv = res.metrics.map(_.edgesTraversed).sum
+          val wall = res.metrics.map(_.wallMs).sum / 1000.0
+          (trv / wall / 1e9, wall, res.metrics.size)
+        }
+      once() // warm-up (JIT + page cache), then 3 measured
+      for (r <- 1 to 3) {
+        meter.reset()
+        val (gteps, wall, steps) = once()
+        val line = f"$v,$c,$r,$gteps%.5f,$wall%.2f," +
+          f"${meter.bytes.sum() / 1e6}%.1f,${meter.records.sum()},steps=$steps"
+        println("PROBE " + line)
+        sb.append(line).append('\n')
+      }
       s.stop()
-      g
     }
-    println(f"[scaling] efficiency=${(results(1) / results(0)) / 4.0}%.3f")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/probe_out.csv"), sb.toString)
+    println("PROBE done")
   }
 }
