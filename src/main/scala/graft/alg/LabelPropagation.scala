@@ -148,7 +148,7 @@ object LabelPropagation {
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = iterations, checkpointDir = checkpointDir,
         verbose = verbose)) { (state, iter) =>
-      val votes = e.join(state, e(Graph.DST) === state(Graph.VID))
+      val votes = e.join(state.hint("shuffle_hash"), e(Graph.DST) === state(Graph.VID))
         .groupBy(e(Graph.SRC).as("__v"), col("label"))
         .agg(count(lit(1)).as("n"))
       val winner = votes.groupBy(col("__v").as(Graph.VID))

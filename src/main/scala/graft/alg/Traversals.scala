@@ -70,13 +70,13 @@ object Traversals {
             verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
           }
           val unvisited = verts.join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
-          radj.join(unvisited, radj(Graph.SRC) === unvisited(Graph.VID))
+          radj.join(unvisited.hint("shuffle_hash"), radj(Graph.SRC) === unvisited(Graph.VID))
             .select(radj(Graph.SRC).as(Graph.VID), explode(col("nbrs")).as("__p"))
             .join(frontier.select(col(Graph.VID).as("__p")), Seq("__p"), "left_semi")
             .select(col(Graph.VID)).distinct()
             .select(col(Graph.VID), lit(level).cast("int").as("cost"), lit(true).as("frontier"))
         } else {
-          adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+          adj.join(frontier.hint("shuffle_hash"), adj(Graph.SRC) === frontier(Graph.VID))
             .select(explode(col("nbrs")).as(Graph.VID)).distinct()
             .join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
             .select(col(Graph.VID), lit(level).cast("int").as("cost"), lit(true).as("frontier"))
@@ -103,7 +103,7 @@ object Traversals {
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = 10000, checkpointDir = checkpointDir)) { (state, _) =>
       val frontier = state.filter(col("frontier"))
-      val cand = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+      val cand = adj.join(frontier.hint("shuffle_hash"), adj(Graph.SRC) === frontier(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID), adj(Graph.SRC).as("parent"))
         .groupBy(Graph.VID).agg(min("parent").as("parent"))
       val discovered = cand
@@ -136,7 +136,7 @@ object Traversals {
       Superstep.Config(maxSupersteps = maxSupersteps, checkpointDir = checkpointDir,
         verbose = verbose)) { (state, _) =>
       val delta = state.filter(col("changed"))
-      val relax = e.join(delta, e(Graph.SRC) === delta(Graph.VID))
+      val relax = e.join(delta.hint("shuffle_hash"), e(Graph.SRC) === delta(Graph.VID))
         .select(col(Graph.DST).as(Graph.VID), (col("dist") + col("weight")).as("nd"))
         .groupBy(Graph.VID).agg(min("nd").as("nd"))
       val joined = state.select(col(Graph.VID), col("dist"))
@@ -165,7 +165,7 @@ object Traversals {
     var found = false
     var exhausted = false
     while (!found && !exhausted) {
-      val nbrs = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+      val nbrs = adj.join(frontier.hint("shuffle_hash"), adj(Graph.SRC) === frontier(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID)).distinct()
       val discovered = nbrs.join(visited, Seq(Graph.VID), "left_anti")
         .transform(graft.core.Lineage.cut)

@@ -15,6 +15,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the sandbox hypervisor occasionally stalls the whole VM for minutes;
+      // don't let the heartbeat receiver kill the local executor mid-suite
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
