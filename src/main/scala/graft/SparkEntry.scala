@@ -100,9 +100,12 @@ object SparkEntry {
       graft.alg.Traversals.sssp(e, source).state
     }),
     "q_label_prop" -> ((s, dir) =>
-      // no reasonable ANSI-SQL oracle (25-iteration sparse-matrix loop) —
-      // rows-only check here; exact-parity tests run vs the Scala oracle.
-      graft.alg.LabelPropagation.labelRank(Graph.undirected(eMOD(s, dir))).labels),
+      // fixed 4 iterations (stable-count can't reach 5, so exactly 4 run):
+      // same per-iteration LabelRank semantics as the reference, made
+      // DuckDB-unrollable (labelRankSql); the 25-max/5-stable termination
+      // rule is exact-parity-tested vs the Scala dense oracle in ScalaTest.
+      graft.alg.LabelPropagation.labelRank(Graph.undirected(eMOD(s, dir)),
+        maxIterations = 4).labels),
     "q_majority_lpa" -> ((s, dir) =>
       graft.alg.LabelPropagation.majorityLpa(eMOD(s, dir), iterations = 5).labels),
     "q_label_prop_pruned" -> ((s, dir) =>
@@ -433,6 +436,36 @@ object SparkEntry {
     init + rounds + s"\n      SELECT vid, label FROM l$iterations"
   }
 
+  /** Reference-parity LabelRank unrolled to `iterations` rounds over the
+   * undirected eMOD graph (no self-loops by construction): P0[v][v] = 1,
+   * P0[v][nbr] = 1/deg(v); Pk[v][l] = Σ_{u∈N(v)} Pk-1[u][l] / deg(v);
+   * label = argmax_l with ROUND(p, 12) comparison, ties → lowest l — the SQL
+   * mirror of `LabelPropagation.labelRank`'s argmax (the rounding collapses
+   * cross-engine summation-order ulp noise on exact structural ties). */
+  private def labelRankSql(iterations: Int): String = {
+    val init = s"""
+      WITH eb AS MATERIALIZED (
+        SELECT src, dst FROM ($SqlEMOD) UNION SELECT dst AS src, src AS dst FROM ($SqlEMOD)),
+      deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM eb GROUP BY src),
+      p0 AS MATERIALIZED (
+        SELECT e.src AS vid, e.dst AS l, 1.0 / d.deg AS p
+        FROM eb e JOIN deg d ON e.src = d.vid
+        UNION ALL
+        SELECT vid, vid AS l, 1.0 AS p FROM deg)"""
+    val rounds = (1 to iterations).map { k =>
+      s"""
+      , p$k AS MATERIALIZED (
+        SELECT e.src AS vid, p.l AS l, SUM(p.p) / MIN(d.deg) AS p
+        FROM eb e JOIN p${k - 1} p ON e.dst = p.vid JOIN deg d ON e.src = d.vid
+        GROUP BY e.src, p.l)"""
+    }.mkString
+    init + rounds + s"""
+      SELECT vid, l AS label FROM (
+        SELECT vid, l, ROW_NUMBER() OVER (
+          PARTITION BY vid ORDER BY ROUND(p, 12) DESC, l ASC) AS rn
+        FROM p$iterations WHERE p > 0) WHERE rn = 1"""
+  }
+
   /** k-core peeling unrolled to `rounds` (peeling is monotone; a too-small
    * unroll mismatches LOUDLY). MATERIALIZED: DuckDB would otherwise inline
    * each CTE into its 2 consumers — exponential expansion. NOTE: `UNION`
@@ -614,15 +647,16 @@ object SparkEntry {
     "q_embed_top_pairs" -> embedTopPairsSql,
     "q_bfs_tree" -> bfsTreeSql,
     "q_majority_lpa" -> majorityLpaSql(iterations = 5),
+    "q_label_prop" -> labelRankSql(iterations = 4),
     "q_kcore" -> kcoreSql(k = 8, rounds = 12),
     "q_maxflow" -> maxflowSql,
     "q_betweenness" -> brandesSql(stress = false, depth = 8, nRoots = 3),
     "q_stress" -> brandesSql(stress = true, depth = 8, nRoots = 3),
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql(maxDistance = 3)
-    // q_label_prop / q_label_prop_pruned (25-iteration sparse-matrix loop
-    // with a 5-stable stop — exact-parity ScalaTest vs the Scala oracle
-    // instead) and q_ann_lsh (approximate by construction, recall-tested):
-    // rows-only.
+    // q_label_prop_pruned (full-convergence 25-iteration loop with a
+    // 5-stable stop AND per-iteration top-16 support pruning on unrounded
+    // p — exact-parity ScalaTest vs the Scala oracle instead) and q_ann_lsh
+    // (approximate by construction, recall-tested): rows-only.
   )
 }
