@@ -41,13 +41,18 @@ object ConnectedComponents {
    * min vertex id per component — but min-label distances halve per round:
    * convergence drops from O(label diameter) toward O(log d) supersteps,
    * two extra O(V) shuffles per superstep in exchange for skipped O(E)
-   * message rounds. Turn off for strict per-round reference tracing. */
+   * message rounds. Off by default: on low-diameter web/RMAT graphs HashMin
+   * already converges in ~diameter rounds and the jump removes NONE of them
+   * (measured on rmat s20 @32 cores: 6 supersteps either way, +5% shuffle
+   * bytes with the jump) — enable it for high-diameter inputs (meshes,
+   * chains, road networks) where label distance, not graph distance,
+   * dominates round count. */
   def run(edges: DataFrame,
           checkpointDir: Option[String] = None,
           resume: Boolean = false,
           maxSupersteps: Int = 200,
           denseThreshold: Double = 0.1,
-          pointerJump: Boolean = true,
+          pointerJump: Boolean = false,
           verbose: Boolean = false): Result = {
     val und = Graph.undirected(edges)
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
