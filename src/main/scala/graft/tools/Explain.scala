@@ -31,6 +31,32 @@ object Explain {
       .groupBy("vid").agg(sum("stored").as("mbox"))
     msgs.explain("formatted")
 
+    println("==== WCC superstep: delta scatter -> min-agg -> state update (shuffle_hash both) ====")
+    // mirrors one ConnectedComponents.run step (pointer jump off, sparse
+    // frontier): the post-cut state carries no stats, so WITHOUT the hints
+    // the planner falls back to sort-merge and re-sorts both O(V) sides
+    // every superstep
+    val comp = Graph.vertices(edges)
+      .select(col("vid"), col("vid").as("comp"), lit(true).as("changed"), lit(1L).as("deg"))
+      .persist()
+    comp.count()
+    val pushFrom = comp.filter(col("changed"))
+    val candMsgs = adj.join(pushFrom.hint("shuffle_hash"), adj("src") === pushFrom("vid"))
+      .select(explode(col("nbrs")).as("vid"), col("comp"))
+      .groupBy("vid").agg(min("comp").as("cand"))
+    comp.select(col("vid"), col("comp"), col("deg"))
+      .join(candMsgs.hint("shuffle_hash"), Seq("vid"), "left")
+      .select(col("vid"), col("deg"), col("comp").as("old"),
+        least(col("comp"), coalesce(col("cand"), col("comp"))).as("m"))
+      .explain("formatted")
+
+    println("==== BFS frontier scatter (top-down, shuffle_hash on the frontier) ====")
+    val frontier = Graph.vertices(edges).limit(100).select(col("vid")).persist()
+    frontier.count()
+    adj.join(frontier.hint("shuffle_hash"), adj("src") === frontier("vid"))
+      .select(explode(col("nbrs")).as("vid")).distinct()
+      .explain("formatted")
+
     println("==== ngram-jaccard bitmap verify (candidates ⋈ bitmaps, zip_with/bit_count) ====")
     graft.dedup.Dedup.ngramJaccardPairs(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
