@@ -32,8 +32,12 @@ object QueryBench {
     for (r <- 1 to repeats; name <- names) {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = fn(s, sfDir).count()
-      println(f"QBENCH $name run=$r sec=${(System.nanoTime() - t0) / 1e9}%.2f rows=$n")
+      val rows = fn(s, sfDir).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // order-insensitive content hash: catches run-to-run nondeterminism
+      // (e.g. float-summation-order tie flips) across repeats
+      val h = rows.map(_.toString).sorted.mkString("\n").hashCode
+      println(f"QBENCH $name run=$r sec=$sec%.2f rows=${rows.length} hash=$h")
     }
     s.stop()
   }
