@@ -4,34 +4,59 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main. Emits exactly ONE JSON line
- * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
- *  "scaling":{...}} — printed to stdout AND written to `bench_out.json`
- * (cwd) so the driver's parser never depends on scraping sbt's logger
- * prefixes.
+ * {"metric":"total","value":N,"unit":"sec","queries":{...},
+ *  "query_runs":{...},"supersteps":{...},"sf":...,"scaling":{...},
+ *  "scaling_compute_bound_leg":{...}} — printed to stdout AND written to
+ * `bench_out.json` (cwd) so the driver's parser never depends on scraping
+ * sbt's logger prefixes.
+ *
+ * Methodology (both parts share it): the sandbox host alternates
+ * multi-minute full-speed and throttled phases (hypervisor), so every
+ * measured configuration is run MULTIPLE times INTERLEAVED round-robin and
+ * reported as best-of-N plus the full run distribution — a sequential
+ * single-shot design lets a throttle phase masquerade as an engine result
+ * (observed round 2: the same code measured 58.6 s quiet vs 198.8 s
+ * throttled for the headline set).
  *
  * Two parts:
- *  1. headline queries from SparkEntry on SPARK_GRAFT_SF_DIR at the driver's
- *     requested parallelism;
+ *  1. headline queries from SparkEntry on SPARK_GRAFT_SF_DIR: 3 interleaved
+ *     passes over the whole list in one session, per-query best-of-3;
  *  2. the north rule's two-cluster-size scaling evidence (sandbox
- *     substitution per BASELINE.md): the SAME PageRank job on the SAME
- *     RMAT graph at local[8] vs local[32] (shuffle partitions scaled with
- *     cores), reporting per-superstep GTEPS at both plus
- *     efficiency = (gteps_4n / gteps_n) / 4. Every leg reports its full
- *     3-run distribution, and a compute-bound local[2]→local[8] leg is
- *     reported alongside (the 8→32 leg saturates the single socket's
- *     memory bandwidth — one host is not 4 executors' worth of DRAM
- *     channels; see BASELINE.md).
+ *     substitution per BASELINE.md): the SAME 5-round PageRank on the SAME
+ *     RMAT s22 graph at local[2] / local[8] / local[32], one fresh session
+ *     per run, legs interleaved, best-of-N per leg,
+ *     efficiency = (gteps_4n / gteps_n) / 4. Shuffle partitions are FIXED
+ *     at the data-sized 32 across all legs and AQE is DISABLED in the
+ *     scaling sessions so the physical plan — including the post-shuffle
+ *     partition count, which AQE coalescing would otherwise re-target to
+ *     core count — is bit-identical at every parallelism level; only
+ *     `local[n]` changes. The 8→32 leg saturates the single socket's DRAM
+ *     bandwidth (one host is not 4 executors' worth of channels); the
+ *     compute-bound 2→8 leg is the honest proxy for N→4N executor scaling
+ *     — see BASELINE.md.
  */
 object Bench {
 
+  /** Spark scratch space: tmpfs when the host has it (a cluster's
+   * per-executor NVMe scales with N; this box's single /tmp disk does not —
+   * see BASELINE.md scaling notes), plain java.io.tmpdir otherwise. */
+  val localDir: String =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm/graft-spark-local"
+    else System.getProperty("java.io.tmpdir") + "/graft-spark-local"
+
   // q_label_prop (uncapped reference-parity LabelRank) is deliberately NOT
   // benched: on the near-complete sf0.1 derived graph its cost is the
-  // reference's own O(V²·deg) by design (~60M rows/iteration × 25); the
-  // pruned scale-path variant represents label propagation here.
+  // reference's own O(V²·deg) by design (~60M rows/iteration × 25);
+  // q_label_prop_pruned_full (full-convergence run of the top-16-pruned
+  // scale path — the same algorithm the oracle-checked fixed-iteration
+  // q_label_prop_pruned exercises) represents label propagation here.
   private val Headline = Seq(
-    "q_pagerank", "q_wcc", "q_triangles", "q_label_prop_pruned", "q_bfs", "q_sssp",
-    "q_out_degree", "q_dedup_exact", "q_minhash_sig", "q_simhash",
+    "q_pagerank", "q_wcc", "q_triangles", "q_label_prop_pruned_full", "q_bfs",
+    "q_sssp", "q_out_degree", "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality", "q_ngram_jaccard")
+
+  private val HeadlinePasses = 3
 
   /** `parts` defaults to `cores` for the headline-query part; the scaling
    * legs pass a FIXED count instead — on a real cluster the partitioning is
@@ -39,18 +64,20 @@ object Bench {
    * stays constant while executors scale N→4N; scaling partitions with
    * cores would shrink per-task map-side combining (measured: 148M → 219M
    * shuffle records on the same job at parts 8 → 32), an artifact a
-   * multi-executor cluster does not have. */
-  private def session(cores: Int, parts: Int = -1): SparkSession = {
+   * multi-executor cluster does not have. `aqe=false` additionally pins the
+   * runtime plan (no coalescing to core-count default parallelism, no
+   * runtime re-plans) — required for the scaling legs' identical-plan
+   * claim; the headline part keeps AQE on, as a production deployment
+   * would. */
+  private def session(cores: Int, parts: Int = -1, aqe: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", if (parts > 0) parts else cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // shuffle to tmpfs: a cluster's per-executor NVMe scales with N; this
-      // box's single /tmp disk does not — see BASELINE.md scaling notes
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.local.dir", localDir)
       // the sandbox hypervisor occasionally stalls the whole VM for minutes;
       // don't let the heartbeat receiver kill the local executor over it
       .config("spark.network.timeout", "600s")
@@ -74,11 +101,11 @@ object Bench {
   }
 
   /** One measured run in a fresh session at `cores`; shuffle partitions
-   * fixed at the data-sized count across all parallelism levels (see
-   * [[session]]). Sessions share the JVM, so JIT/page-cache warmth carries
-   * across; the caller does one throwaway warm-up run first. */
+   * fixed at the data-sized count and AQE off across all parallelism levels
+   * (see [[session]]). Sessions share the JVM, so JIT/page-cache warmth
+   * carries across; the caller does one throwaway warm-up run first. */
   private def oneRun(cores: Int, path: String): (Double, Double) = {
-    val s = session(cores, parts = ScalingParts)
+    val s = session(cores, parts = ScalingParts, aqe = false)
     try pagerankRun(s, path) finally s.stop()
   }
 
@@ -91,7 +118,8 @@ object Bench {
 
   /** leg JSON: best-of-n gteps at both sizes + full distributions.
    * best-of-N estimates capability rather than the noise floor (run-to-run
-   * variance is ±15% from GC/page-cache interference on a shared host). */
+   * variance is ±15% from GC/page-cache interference on a shared host,
+   * with multi-minute 2-3× throttle phases on top). */
   private def legJson(cN: Int, c4N: Int,
                       rN: Seq[(Double, Double)], r4N: Seq[(Double, Double)]): String = {
     val bN = rN.maxBy(_._1); val b4N = r4N.maxBy(_._1)
@@ -107,22 +135,33 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // Part 1: headline queries. One untimed warm-up first: the first query
-    // in a fresh JVM otherwise pays 5-10 s of shared JIT/codegen/parquet-
-    // reader warm-up that belongs to the harness, not the operator (verified
-    // by permuting the query order).
+    // Part 1: headline queries, HeadlinePasses interleaved passes over the
+    // full list in one session, per-query best-of-N. One untimed warm-up
+    // first: the first query in a fresh JVM otherwise pays 5-10 s of shared
+    // JIT/codegen/parquet-reader warm-up that belongs to the harness, not
+    // the operator (verified by permuting the query order).
     val s1 = session(cpus)
     try {
       SparkEntry.queries("q_out_degree")(s1, sfDir).count()
       SparkEntry.queries("q_pagerank")(s1, sfDir).count()
     } catch { case _: Throwable => }
-    val results = Headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+    val runs = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to HeadlinePasses; name <- Headline)
+      SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
         val ok = try { fn(s1, sfDir).count(); true } catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        runs(name) = runs(name) :+ sec
       }
+    val results = Headline.flatMap { name =>
+      val rs = runs(name)
+      if (rs.isEmpty) None
+      else Some(name -> (if (rs.forall(_ < 0)) -1.0 else rs.filter(_ >= 0).min))
     }
+    // iterations-to-convergence per algorithm (north-rule metric), recorded
+    // by the query lambdas via MetricsLedger during the passes above
+    val steps = graft.core.MetricsLedger.snapshot
     // scaling graph: RMAT scale 22, ef 16 ≈ 67M edges — per-superstep
     // compute/shuffle must dominate the fixed per-job overhead, or the
     // two-parallelism comparison measures the scheduler, not the engine
@@ -134,18 +173,14 @@ object Bench {
     s1.stop()
 
     // Part 2: scaling evidence (north rule, sandbox substitution): same job,
-    // same input; north-rule leg 8→32 cores plus the compute-bound 2→8 leg.
-    // The legs are INTERLEAVED round-robin, one run per fresh session: the
-    // shared host alternates multi-minute full-speed and throttled phases
-    // (hypervisor), so running all of leg A then all of leg B lets a phase
-    // shift masquerade as a scaling result (observed: a 32-core block
-    // measured slower than the 8-core block that preceded it). Interleaving
-    // spreads phases across legs and best-of-N per leg then estimates each
-    // configuration's unthrottled capability. The 2-core leg costs
-    // ~100 s/run and gets 3 runs spread across the schedule (a throttled
-    // phase can outlast two adjacent runs — observed: both 2-core runs of
-    // one session throttled 2×, flipping the 2→8 leg past 1.0); 8/32 get 5.
-    val warm = session(32, parts = ScalingParts)
+    // same input, fixed partitions, AQE off — identical physical plan at
+    // every core count; north-rule leg 8→32 cores plus the compute-bound
+    // 2→8 leg. Legs INTERLEAVED round-robin, one run per fresh session
+    // (rationale in the object doc). The 2-core leg costs ~100 s/run and
+    // gets 3 runs spread across the schedule (a throttled phase can outlast
+    // two adjacent runs — observed: both 2-core runs of one session
+    // throttled 2×, flipping the 2→8 leg past 1.0); 8/32 get 5.
+    val warm = session(32, parts = ScalingParts, aqe = false)
     try pagerankRun(warm, scalePath) finally warm.stop() // JIT + page cache
     val acc = scala.collection.mutable.Map(
       2 -> Vector.empty[(Double, Double)],
@@ -157,12 +192,18 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qruns = results.map { case (k, _) =>
+      "\"" + k + "\":" + runs(k).map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val stepsJson = steps.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val scalingJson = legJson(8, 32, r8, r32)
     val computeLegJson = legJson(2, 8, r2, r8)
     val totalStr = f"$total%.3f"
     val line =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,""" +
+        s""""query_runs":$qruns,"supersteps":$stepsJson,"sf":"$sfDir",""" +
         s""""scaling":$scalingJson,"scaling_compute_bound_leg":$computeLegJson}"""
     // file first (driver-parseable without scraping the sbt logger), then stdout
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")

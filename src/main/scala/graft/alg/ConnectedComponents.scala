@@ -69,48 +69,60 @@ object ConnectedComponents {
       .select(col(Graph.VID), col(Graph.VID).as("comp"), lit(true).as("changed"),
         col("deg"))
 
+    // frontier stats (Σ frontier degrees, frontier size) of the CURRENT
+    // state: computed once on the init frame, then re-probed at the END of
+    // each superstep on the freshly cut state and carried over — one tiny
+    // cached-scan job per superstep, and convergence is reported in the
+    // superstep that produced no changes (no trailing zero-edge sentinel
+    // step, so superstep counts stay comparable to round-1/reference round
+    // counts). This is the metric the reference reports per traversal
+    // (`totem_benchmark_binary.cu:133-156`).
+    var carried: Option[(Long, Long)] = None
+    def frontierStats(df: DataFrame): (Long, Long) = {
+      val r = df.filter(col("changed"))
+        .agg(coalesce(sum("deg"), lit(0L)), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxSupersteps, checkpointDir = checkpointDir,
         resume = resume, verbose = verbose)) { (state, _) =>
-      // edges traversed + frontier size in ONE tiny job (scan of the cached
-      // cut state) — the metric the reference reports per traversal
-      // (`totem_benchmark_binary.cu:133-156`); doubles as the convergence
-      // check, replacing round 1's per-superstep isEmpty probe
-      val stats = state.filter(col("changed"))
-        .agg(coalesce(sum("deg"), lit(0L)), count(lit(1))).collect()(0)
-      val deltaCount = stats.getLong(1)
-      if (deltaCount == 0L) StepResult(state, 0L, converged = true)
-      else {
-        val dense = deltaCount > denseThreshold * totalV
-        val trv = if (dense) totalEdges else stats.getLong(0)
-        val pushFrom = if (dense) state else state.filter(col("changed"))
-        val msgs = adj.join(pushFrom.hint("shuffle_hash"),
-            adj(Graph.SRC) === pushFrom(Graph.VID))
-          .select(explode(col("nbrs")).as(Graph.VID), col("comp"))
-          .groupBy(Graph.VID).agg(min("comp").as("cand"))
-        // shuffle_hash on the O(V) msgs side: SMJ would re-sort both O(V)
-        // frames every superstep for no benefit (the output is re-hashed by
-        // the next superstep anyway)
-        val relaxed = state.select(col(Graph.VID), col("comp"), col("deg"))
-          .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
-          .select(col(Graph.VID), col("deg"), col("comp").as("old"),
-            least(col("comp"), coalesce(col("cand"), col("comp"))).as("m"))
-        val next =
-          if (pointerJump)
-            relaxed.join(
-                state.select(col(Graph.VID).as("__j"), col("comp").as("__jc"))
-                  .hint("shuffle_hash"),
-                col("m") === col("__j"), "left")
-              .select(col(Graph.VID),
-                coalesce(col("__jc"), col("m")).as("comp"),
-                (coalesce(col("__jc"), col("m")) < col("old")).as("changed"),
-                col("deg"))
-          else
-            relaxed.select(col(Graph.VID), col("m").as("comp"),
-              (col("m") < col("old")).as("changed"), col("deg"))
-        // materialize ONCE (Superstep skips re-materializing a cut frame)
-        StepResult(graft.core.Lineage.cut(next), trv, converged = false)
-      }
+      val (frontEdges, deltaCount) = carried.getOrElse(frontierStats(state))
+      val dense = deltaCount > denseThreshold * totalV
+      val trv = if (dense) totalEdges else frontEdges
+      val pushFrom = if (dense) state else state.filter(col("changed"))
+      val msgs = adj.join(pushFrom.hint("shuffle_hash"),
+          adj(Graph.SRC) === pushFrom(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID), col("comp"))
+        .groupBy(Graph.VID).agg(min("comp").as("cand"))
+      // shuffle_hash on the O(V) msgs side: SMJ would re-sort two O(V)
+      // frames every superstep for no benefit (the output is re-hashed by
+      // the next superstep anyway)
+      val relaxed = state.select(col(Graph.VID), col("comp"), col("deg"))
+        .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
+        .select(col(Graph.VID), col("deg"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("cand"), col("comp"))).as("m"))
+      val next =
+        if (pointerJump)
+          // NOTE: this join's probe-side key is the relaxed label, which in
+          // late supersteps concentrates on each component's minimum id —
+          // on skewed graphs the jump relies on AQE skew-join splitting
+          // (opt-in, see scaladoc)
+          relaxed.join(
+              state.select(col(Graph.VID).as("__j"), col("comp").as("__jc"))
+                .hint("shuffle_hash"),
+              col("m") === col("__j"), "left")
+            .select(col(Graph.VID),
+              coalesce(col("__jc"), col("m")).as("comp"),
+              (coalesce(col("__jc"), col("m")) < col("old")).as("changed"),
+              col("deg"))
+        else
+          relaxed.select(col(Graph.VID), col("m").as("comp"),
+            (col("m") < col("old")).as("changed"), col("deg"))
+      // materialize ONCE (Superstep skips re-materializing a cut frame)
+      val cut = graft.core.Lineage.cut(next)
+      val post = frontierStats(cut)
+      carried = Some(post)
+      StepResult(cut, trv, converged = post._2 == 0L)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("comp").as("component")), outcome.metrics)

@@ -99,16 +99,21 @@ object LabelPropagation {
           // (p desc, l asc) via the (-p, l) struct order, slice k — replaces
           // the row_number window (extra shuffle + full per-vertex sort) the
           // round-1 bench flagged; argmax then runs over the pruned slice,
-          // exactly like the windowed form did.
+          // exactly like the windowed form did. The prune COMPARATOR uses
+          // round(p, 12) — the same ulp-tie collapse as the argmax — so the
+          // top-k boundary is deterministic across summation orders and
+          // across engines (the DuckDB oracle mirrors the rounded ordering);
+          // the p values CARRIED FORWARD stay unrounded.
           newDistFlat.groupBy(Graph.VID)
-            .agg(collect_list(struct((-col("p")).as("np"), col("l"))).as("__all"))
+            .agg(collect_list(
+              struct((-round(col("p"), 12)).as("np"), col("l"), col("p"))).as("__all"))
             .select(col(Graph.VID),
               slice(array_sort(col("__all")), 1, pruneTopK).as("__topk"))
             .select(col(Graph.VID),
               transform(col("__topk"),
-                x => struct(x("l").as("l"), (-x("np")).as("p"))).as("dist"),
+                x => struct(x("l").as("l"), x("p").as("p"))).as("dist"),
               array_max(transform(col("__topk"),
-                x => struct(round(-x("np"), 12).as("p"), (-x("l")).as("nl")))).as("best"))
+                x => struct((-x("np")).as("p"), (-x("l")).as("nl")))).as("best"))
         } else
           newDistFlat.groupBy(Graph.VID).agg(
             collect_list(struct(col("l"), col("p"))).as("dist"),

@@ -181,17 +181,16 @@ object Traversals {
 
   /** Closeness centrality for a set of source vertices, exact per source:
    * closeness(s) = (reached-1) / Σ dist (`totem_closeness.cu:206`; the
-   * reference's unweighted variant). Returns (vid, closeness). */
+   * reference's unweighted variant). All sources run in ONE batched
+   * multi-source BFS ([[Centrality.multiSourceBfs]]) — every superstep's
+   * join is shared across roots instead of O(roots × diameter) sequential
+   * driver round-trips. Returns (vid, closeness) keyed by root. */
   def closeness(edges: DataFrame, sources: Seq[Long]): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val rows = sources.map { s =>
-      val levels = bfs(edges, s).state
-      val agg = levels.agg(sum(col("cost")).as("sd"), count(lit(1)).as("n")).collect()(0)
-      val sd = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-      val n = agg.getLong(1)
-      (s, if (sd > 0) (n - 1).toDouble / sd else 0.0)
-    }
-    rows.toDF(Graph.VID, "closeness")
+    val levels = Centrality.multiSourceBfs(edges, sources)
+    levels.groupBy(col("root").as(Graph.VID))
+      .agg(sum("dist").as("sd"), count(lit(1)).as("n"))
+      .select(col(Graph.VID),
+        when(col("sd") > 0, (col("n") - 1).cast("double") / col("sd"))
+          .otherwise(lit(0.0)).as("closeness"))
   }
 }

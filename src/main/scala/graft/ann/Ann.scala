@@ -64,23 +64,39 @@ object Ann {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** All XOR masks of Hamming weight ≤ radius over `planes` bits — the
+   * multi-probe sequence (probe count: 1 + planes + planes·(planes-1)/2 at
+   * radius 2, a vanishing fraction of the 2^planes buckets as planes grow
+   * with corpus size). */
+  private[ann] def probeMasks(planes: Int, radius: Int): Seq[Long] = {
+    val r0 = Seq(0L)
+    val r1 = if (radius >= 1) (0 until planes).map(p => 1L << p) else Nil
+    val r2 = if (radius >= 2)
+      for (i <- 0 until planes; j <- i + 1 until planes) yield (1L << i) | (1L << j)
+    else Nil
+    r0 ++ r1 ++ r2
+  }
+
   /**
-   * LSH-bucketed approximate top-k. `multiProbe`: also probe the buckets at
-   * Hamming distance 1 from the query signature (flip each plane bit) —
-   * recall knob without rebucketing the corpus.
+   * LSH-bucketed approximate top-k. `multiProbe`: also probe the buckets
+   * within `probeRadius` Hamming bit-flips of the query signature — the
+   * recall knob without rebucketing the corpus (Lv et al., "Multi-Probe
+   * LSH"). The scale parameterization: planes ≈ log2(corpus / target
+   * bucket size), so the probed fraction (Σ C(planes,r) / 2^planes)
+   * collapses as the corpus grows — radius 2 at 20 planes touches 211 of
+   * 1M buckets.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-              multiProbe: Boolean = true,
+              multiProbe: Boolean = true, probeRadius: Int = 1,
               id: String = "vec_id", vec: String = "embedding",
               qid: String = "query_id", qvec: String = "q_embedding"): DataFrame = {
     val c = corpus.withColumn("bkey", planeSignature(col(vec), planes))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qsig = queries.withColumn("sig", planeSignature(col(qvec), planes))
-    val probes =
-      if (!multiProbe) qsig.withColumn("bkey", col("sig"))
-      else qsig.select(col("*"), explode(array(
-        (col("sig") +: (0 until planes).map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*))
-        .as("bkey"))
+    val radius = if (multiProbe) probeRadius else 0
+    val probes = qsig.select(col("*"), explode(array(
+      probeMasks(planes, radius).map(m => col("sig").bitwiseXOR(lit(m))): _*))
+      .as("bkey"))
     val scored = probes.join(c, "bkey")
       .select(col(qid), col(id), round(cosine(col(qvec), col(vec)), 9).as("sim"))
       .distinct()

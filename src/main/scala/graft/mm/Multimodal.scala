@@ -20,13 +20,22 @@ final case class ImageFeatures(
     mean_luma: Double,
     feature: Array[Float])
 
+final case class AudioFeatures(
+    media_id: Long,
+    sample_rate: Double,
+    n_samples: Long,
+    rms: Double,
+    zcr: Double)
+
 /**
  * Multimodal-column plumbing: schema, batch shape, partitioning and the
  * decode/feature/resize/frame-sample operator signatures are real and
  * tested. Image decode is REAL for the formats the JDK ships codecs for
- * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external jars); `raw8` stays
- * as the deterministic test format, and audio/video codecs remain
- * clearly-marked STUBs (no codec libraries in this container). The
+ * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external jars), and audio
+ * decode is REAL for WAV/PCM (`javax.sound.sampled`, also JDK-shipped);
+ * `raw8`/`rawpcm8` stay as the deterministic test formats, and compressed
+ * audio + video codecs remain clearly-marked STUBs (no codec libraries in
+ * this container). The
  * Spark-side contract (mapPartitions over batches, metadata passthrough,
  * deterministic output) is identical across all of them.
  */
@@ -60,6 +69,53 @@ object Multimodal {
     case other =>
       // ---- STUB: no codec for this format in the container ----
       throw new UnsupportedOperationException(s"no decoder for format=$other")
+  }
+
+  /** Decoded mono audio: samples normalized to [-1, 1] + sample rate. */
+  final case class DecodedAudio(samples: Array[Float], sampleRate: Float)
+
+  /** REAL decode for WAV/RIFF via `javax.sound.sampled` (ships with the
+   * JDK — no external jars): PCM 8-bit unsigned and 16-bit signed, any
+   * channel count (channels average to mono). `rawpcm8` = headerless
+   * unsigned 8-bit mono @ 8 kHz, the deterministic test format. Compressed
+   * audio (mp3/ogg/aac) and video stay honest stubs — no codecs in this
+   * container. */
+  def decodeAudio(m: MediaRow): DecodedAudio = m.format match {
+    case "rawpcm8" =>
+      DecodedAudio(m.payload.map(b => ((b & 0xff) - 128) / 128.0f), 8000f)
+    case "wav" =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      in.close()
+      val ch = fmt.getChannels
+      val enc = fmt.getEncoding
+      import javax.sound.sampled.AudioFormat.Encoding
+      val out = fmt.getSampleSizeInBits match {
+        case 8 if enc == Encoding.PCM_UNSIGNED =>
+          Array.tabulate(bytes.length / ch) { i =>
+            var acc = 0f; var c = 0
+            while (c < ch) { acc += ((bytes(i * ch + c) & 0xff) - 128) / 128.0f; c += 1 }
+            acc / ch
+          }
+        case 16 if enc == Encoding.PCM_SIGNED =>
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+          val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          Array.tabulate(sb.remaining() / ch) { i =>
+            var acc = 0f; var c = 0
+            while (c < ch) { acc += sb.get(i * ch + c) / 32768.0f; c += 1 }
+            acc / ch
+          }
+        case bits =>
+          throw new UnsupportedOperationException(
+            s"media_id=${m.media_id}: unsupported WAV encoding $enc/${bits}bit")
+      }
+      DecodedAudio(out, fmt.getSampleRate)
+    case other =>
+      // ---- STUB: no codec for compressed audio in the container ----
+      throw new UnsupportedOperationException(s"no audio decoder for format=$other")
   }
 
   /** Deterministic fake corpus for tests: payload bytes derived from id. */
@@ -103,6 +159,31 @@ object Multimodal {
         }
         if (pixels.length > 0) { var j = 0; while (j < featureDim) { hist(j) /= pixels.length; j += 1 } }
         ImageFeatures(m.media_id, dec.width, dec.height, mean, hist)
+      }
+    }
+  }
+
+  /** Per-clip audio features over the decoded mono samples ([[decodeAudio]]:
+   * real WAV codec, identity for rawpcm8) — same mapPartitions batch shape
+   * as [[imageFeatures]]. rms = √(Σx²/n); zcr = sign changes / (n-1). */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "audio").map { m =>
+        val dec = decodeAudio(m)
+        val xs = dec.samples
+        var sumSq = 0.0
+        var zc = 0L
+        var i = 0
+        while (i < xs.length) {
+          sumSq += xs(i).toDouble * xs(i)
+          if (i > 0 && (xs(i) >= 0) != (xs(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        val rms = if (xs.isEmpty) 0.0 else math.sqrt(sumSq / xs.length)
+        val zcr = if (xs.length < 2) 0.0 else zc.toDouble / (xs.length - 1)
+        AudioFeatures(m.media_id, dec.sampleRate.toDouble, xs.length.toLong, rms, zcr)
       }
     }
   }

@@ -35,7 +35,14 @@ object EventStream {
                          event_type: String, value: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
                            n_events: Long, total_value: Double)
-  private final case class SessionState(start: Long, last: Long, n: Long, v: Double)
+  // not `private`: these are state-encoder types — the codegen'd
+  // deserializer constructs them reflectively from generated Java, which
+  // cannot see private nested classes
+  final case class SessionState(start: Long, last: Long, n: Long, v: Double)
+  /** Streaming state: the per-user OPEN sessions (out-of-order arrivals can
+   * briefly keep several disjoint intervals open until events or the
+   * watermark bridge/close them). */
+  final case class OpenSessions(sessions: Seq[SessionState])
 
   /**
    * Gap-based sessionization: a user's events belong to one session until a
@@ -70,6 +77,64 @@ object EventStream {
             state.remove()
           }
           out.iterator
+      }
+  }
+
+  /**
+   * TRUE streaming sessionization: event-time timeout + out-of-order
+   * handling, deployable on an unbounded `readStream` source (the batch
+   * [[sessionize]] keeps its exact in-group-sort semantics for bounded
+   * frames). Semantics:
+   *
+   *  - state per user = the set of OPEN sessions as disjoint `[start,last]`
+   *    intervals; an arriving event (in any order, across any micro-batch
+   *    split) merges every interval within `gapMs` of it — so a late event
+   *    that lands between two provisional sessions bridges them into one,
+   *    exactly what the sorted batch pass would have produced;
+   *  - a session is EMITTED (Append mode) only once the event-time
+   *    watermark passes `last + gapMs` — no earlier event can still arrive
+   *    and extend it (events older than the watermark are dropped by the
+   *    `withWatermark` operator upstream);
+   *  - when a user has open sessions but no new data, emission is driven by
+   *    `GroupStateTimeout.EventTimeTimeout`: the timeout is set to the
+   *    earliest possible close (`min(last) + gapMs`) and re-armed while
+   *    intervals remain open.
+   */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long,
+                       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming // hoisted: the Dataset must not be captured in the closure
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSessions, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSessions]) =>
+          var open = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            it.foreach { e =>
+              val t = e.ts.getTime
+              val (touching, rest) =
+                open.partition(s => t >= s.start - gapMs && t <= s.last + gapMs)
+              val merged = touching.foldLeft(SessionState(t, t, 1, e.value)) { (a, s) =>
+                SessionState(math.min(a.start, s.start), math.max(a.last, s.last),
+                  a.n + s.n, a.v + s.v)
+              }
+              open = merged :: rest
+            }
+          }
+          // batch mode has no watermark: every session closes at end-of-data
+          // (same contract as [[sessionize]]); streaming closes at the
+          // per-batch watermark and re-arms the event-time timeout
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (closed, stillOpen) = open.partition(s => s.last + gapMs <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(stillOpen))
+            state.setTimeoutTimestamp(stillOpen.map(_.last).min + gapMs)
+          }
+          closed.sortBy(_.start).iterator.map(s =>
+            Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.v))
       }
   }
 

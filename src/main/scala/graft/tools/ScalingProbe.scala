@@ -33,27 +33,34 @@ object ScalingProbe {
   }
 
   private def session(cores: Int, variant: String): SparkSession = {
+    // codec/config selection matches on the BASE name with the _part2x/_fp
+    // suffixes stripped (a suffixed variant like zstd_fp must select zstd,
+    // not silently fall through to the default codec while its output rows
+    // are labeled zstd_fp); unknown bases are rejected loudly.
+    val base = variant.stripSuffix("_part2x").stripSuffix("_fp")
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-probe-$variant-$cores")
       .config("spark.sql.shuffle.partitions",
-        if (variant.endsWith("part2x")) cores * 2
-        else if (variant.endsWith("fp")) 32 // fixed, data-sized (cluster-faithful)
+        if (variant.endsWith("_part2x")) cores * 2
+        else if (variant.endsWith("_fp")) 32 // fixed, data-sized (cluster-faithful)
         else cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", variant != "noaqe")
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.sql.adaptive.enabled", base != "noaqe")
+      .config("spark.local.dir", graft.Bench.localDir)
       // the sandbox host occasionally stalls the whole VM for >2 min; do not
       // let the heartbeat receiver kill the local executor over it
       .config("spark.network.timeout", "600s")
-    variant match {
+    base match {
       case "zstd"   => b.config("spark.io.compression.codec", "zstd")
       case "snappy" => b.config("spark.io.compression.codec", "snappy")
       case "nocomp" => b.config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
       case "cache_uncomp" => b.config("spark.sql.inMemoryColumnarStorage.compressed", "false")
-      case _ =>
+      case "base" | "noaqe" =>
+      case other => throw new IllegalArgumentException(
+        s"unknown probe variant base '$other' (from '$variant')")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

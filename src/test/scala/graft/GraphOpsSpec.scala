@@ -120,4 +120,37 @@ class GraphOpsSpec extends SparkSpec {
     val expected = grays.map(_.toDouble).sum / grays.length
     assert(math.abs(f.mean_luma - expected) < 1e-9, s"${f.mean_luma} vs $expected")
   }
+
+  test("multimodal: REAL WAV decode via javax.sound.sampled matches a hand oracle") {
+    import graft.mm.MediaRow
+    // known 16-bit signed mono samples, wrapped into a WAV container in-test
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 0, 8192, -8192)
+    val pcm = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(MediaRow(9L, "audio", bos.toByteArray, "wav", 0, 0, 1L)).toDS()
+    val f = Multimodal.audioFeatures(media).collect()(0)
+    assert(f.n_samples == samples.length && f.sample_rate == 8000.0)
+    // all sample values are exact in float (k/2^15, |k| ≤ 2^15) so the rms
+    // hand oracle is exact up to double-sum rounding
+    val xs = samples.map(_ / 32768.0)
+    val rms = math.sqrt(xs.map(x => x * x).sum / xs.length)
+    assert(math.abs(f.rms - rms) < 1e-12, s"${f.rms} vs $rms")
+    // sign pairs (>=0 vs <0): changes at 16384→-16384, →32767, →-32768, →0, 8192→-8192
+    assert(math.abs(f.zcr - 5.0 / 7.0) < 1e-12, s"zcr ${f.zcr}")
+    // rawpcm8 deterministic headerless test format
+    val raw = Seq(MediaRow(10L, "audio",
+      Array[Byte](128.toByte, 255.toByte, 0.toByte), "rawpcm8", 0, 0, 0L)).toDS()
+    val g = Multimodal.audioFeatures(raw).collect()(0)
+    assert(g.n_samples == 3 && g.sample_rate == 8000.0)
+    assert(math.abs(g.rms - math.sqrt((0.0 + math.pow(127 / 128.0, 2) + 1.0) / 3)) < 1e-7)
+  }
 }

@@ -50,6 +50,33 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
   }
 
+  test("event-time sessionization: watermark + timeout close sessions across micro-batches, out-of-order merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sess = EventStream.sessionizeStream(mem.toDS(), gapMs = 5 * 60000L,
+      watermarkDelay = "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      // micro-batch 1: user 1's events arrive OUT OF ORDER within the batch
+      mem.addData(Event(2, ts(3), 1, "click", 2.0), Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // micro-batch 2: a LATE event (ts(1), above watermark) lands in a
+      // later batch and must merge into the open session; user 2's event at
+      // ts(40) advances the watermark to ts(30) — past user 1's close
+      mem.addData(Event(3, ts(1), 1, "view", 4.0), Event(9, ts(40), 2, "click", 0.5))
+      q.processAllAvailable()
+      // the watermark update takes effect next batch: this one fires user
+      // 1's event-time timeout (no new data for user 1)
+      mem.addData(Event(10, ts(41), 2, "click", 0.5))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_stream").as[Session].collect()
+        .filter(_.user_id == 1)
+      assert(u1.length == 1, s"expected 1 closed session, got ${u1.toSeq}")
+      assert(u1(0) == Session(1, ts(0), ts(3), 3, 7.0))
+    } finally q.stop()
+  }
+
   test("file stream source reads micro-batches and sinks to parquet") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     val out = s"$dir/out"; val ckpt = s"$dir/ckpt"; val in = s"$dir/in"
