@@ -37,7 +37,9 @@ object QueryBench {
       // order-insensitive content hash: catches run-to-run nondeterminism
       // (e.g. float-summation-order tie flips) across repeats
       val h = rows.map(_.toString).sorted.mkString("\n").hashCode
-      println(f"QBENCH $name run=$r sec=$sec%.2f rows=${rows.length} hash=$h")
+      val steps = graft.core.MetricsLedger.snapshot.get(name)
+        .map(n => s" supersteps=$n").getOrElse("")
+      println(f"QBENCH $name run=$r sec=$sec%.2f rows=${rows.length} hash=$h$steps")
     }
     s.stop()
   }
