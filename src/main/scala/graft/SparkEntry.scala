@@ -268,6 +268,26 @@ object SparkEntry {
         .select(col("query_id"),
           (coalesce(col("n"), lit(0L)) >= lit(6L)).as("recall_ok"))
     }),
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      // same recall-floor pattern for the IVF coarse-quantizer path
+      // (Ivf.ivfTopK): nlist = 16 lists, nprobe = 4 (25% probed) on the
+      // 500-vector verify corpus — measured 0.7–1.0 recall per query
+      // (RecallProbe ivf sweep), floor 0.6. Deterministic: id-ordered
+      // sample, stride init, struct tie-breaks.
+      val emb = embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val ivf = graft.ann.Ivf.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val brute = graft.ann.Ann.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val overlap = ivf.join(brute, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      brute.select("query_id").distinct()
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n"), lit(0L)) >= lit(6L)).as("recall_ok"))
+    }),
     "q_embed_top_pairs" -> ((s, dir) => {
       val pairs = graft.ann.Ann.bruteForceNearDupPairs(embeddings(s, dir), threshold = -2.0)
       pairs.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(50)
@@ -739,6 +759,8 @@ object SparkEntry {
     "q_label_prop" -> labelRankSql(iterations = 4),
     "q_label_prop_pruned" -> labelRankPrunedSql(iterations = 4, k = 16),
     "q_ann_lsh_recall" ->
+      "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
+    "q_ann_ivf_recall" ->
       "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
     "q_kcore" -> kcoreSql(k = 8, rounds = 12),
     "q_maxflow" -> maxflowSql,

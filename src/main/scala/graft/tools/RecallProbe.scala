@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    // entries are planes:radius pairs
+    // entries are planes:radius pairs (LSH) or ivfNLIST:NPROBE (IVF)
     val planeSet = args.lift(1).getOrElse("3:1,4:1,4:2,5:2,6:2,8:2")
-      .split(",").map(_.trim.split(":")).map(a => (a(0).toInt, a.lift(1).map(_.toInt).getOrElse(1))).toSeq
+      .split(",").map(_.trim.stripPrefix("ivf").split(":"))
+      .map(a => (a(0).toInt, a.lift(1).map(_.toInt).getOrElse(1))).toSeq
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -30,7 +31,10 @@ object RecallProbe {
       .select(col("query_id"), col("vec_id")).cache()
     brute.count()
     for ((p, r) <- planeSet) {
-      val lsh = graft.ann.Ann.lshTopK(emb, queries, k = 10, planes = p, probeRadius = r)
+      // entries prefixed "ivf" sweep the IVF path: ivfN:P = nlist N, nprobe P
+      val lsh = (if (args.lift(1).exists(_.startsWith("ivf")))
+        graft.ann.Ivf.ivfTopK(emb, queries, k = 10, nlist = p, nprobe = r)
+      else graft.ann.Ann.lshTopK(emb, queries, k = 10, planes = p, probeRadius = r))
         .select(col("query_id"), col("vec_id"))
       val per = brute.join(lsh, Seq("query_id", "vec_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n"))

@@ -61,6 +61,34 @@ class AnnSpec extends SparkSpec {
     assert(lsh.contains((0L, 1000L)))
   }
 
+  test("IVF top-k: full probe is exact; partial probe keeps recall") {
+    val queries = corpus.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, k = 3).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe == nlist probes every list -> identical to brute force
+    val full = graft.ann.Ivf.ivfTopK(corpus, queries, k = 3, nlist = 4, nprobe = 4)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "full-probe IVF must equal brute force")
+    val partial = graft.ann.Ivf.ivfTopK(corpus, queries, k = 3, nlist = 4, nprobe = 2)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(partial.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("IVF assignment is deterministic and covers every vector once") {
+    val cents = graft.ann.Ivf.trainCentroids(corpus, nlist = 4, sampleN = 64)
+    val a1 = graft.ann.Ivf.assign(corpus, cents).select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a2 = graft.ann.Ivf.assign(corpus, cents).select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a1 == a2, "assignment not deterministic")
+    assert(a1.size == 50, "each vector assigned exactly once")
+    assert(a1.values.toSet.subsetOf((0 until 4).toSet))
+  }
+
   test("works on the driver embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.limit(2)
