@@ -80,6 +80,22 @@ object SparkEntry {
       graft.core.MetricsLedger.record("q_pagerank", r.metrics.size)
       r.ranks.select(col("vid"), round(col("rank"), 6).as("rank"))
     }),
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank from the 5 smallest vertex ids (deterministic
+      // seed choice expressible in the oracle; the collect is O(seeds))
+      val e = eMOD(s, dir)
+      val seeds = Graph.vertices(e).orderBy(col("vid")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val r = graft.alg.PageRank.personalized(e, seeds)
+      graft.core.MetricsLedger.record("q_ppr", r.metrics.size)
+      r.ranks.select(col("vid"), round(col("rank"), 6).as("rank"))
+    }),
+    "q_hits" -> ((s, dir) => {
+      val r = graft.alg.Hits.run(eMOD(s, dir))
+      graft.core.MetricsLedger.record("q_hits", r.metrics.size)
+      r.scores.select(col("vid"),
+        round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+    }),
     "q_wcc" -> ((s, dir) => {
       val r = graft.alg.ConnectedComponents.run(ePS(s, dir))
       graft.core.MetricsLedger.record("q_wcc", r.metrics.size)
@@ -322,6 +338,60 @@ object SparkEntry {
       , r$k AS (SELECT vid, deg, ${divide.replace("t$K", s"t$k")} AS stored FROM t$k)"""
     }.mkString
     init + rounds + "\n      SELECT vid, ROUND(stored, 6) AS rank FROM r5"
+  }
+
+  /** Personalized PageRank unrolled: restart mass on the `nSeeds` smallest
+   * vids, same pre-divided-stored structure as [[pagerankSql]]. */
+  private def pprSql(rounds: Int, nSeeds: Int): String = {
+    val init = s"""
+      WITH e AS ($SqlEMOD),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      sd AS (SELECT vid FROM v ORDER BY vid LIMIT $nSeeds),
+      ns AS (SELECT COUNT(*) AS n FROM sd),
+      dg AS (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+      vd AS (SELECT v.vid, COALESCE(dg.deg, 0) AS deg,
+        CASE WHEN v.vid IN (SELECT vid FROM sd) THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS seed
+        FROM v LEFT JOIN dg ON v.vid = dg.vid),
+      r0 AS (SELECT vid, deg, seed,
+        CASE WHEN deg > 0 THEN seed / deg ELSE seed END AS stored, seed AS value FROM vd)"""
+    val body = (1 to rounds).map { k =>
+      s"""
+      , t$k AS (
+        SELECT vd.vid, vd.deg, vd.seed,
+          (1.0 - 0.85) * vd.seed + 0.85 * COALESCE(s.m, 0.0) AS value
+        FROM vd LEFT JOIN (
+          SELECT e.dst AS vid, SUM(p.stored) AS m FROM e JOIN r${k - 1} p ON e.src = p.vid GROUP BY e.dst
+        ) s ON vd.vid = s.vid)
+      , r$k AS (SELECT vid, deg, seed,
+        CASE WHEN deg > 0 THEN value / deg ELSE value END AS stored, value FROM t$k)"""
+    }.mkString
+    init + body + s"\n      SELECT vid, ROUND(value, 6) AS rank FROM r$rounds"
+  }
+
+  /** HITS unrolled: per round, auth from previous hubs, hub from the FRESH
+   * auths (textbook sequential update), both L2-normalized. */
+  private def hitsSql(rounds: Int): String = {
+    val init = s"""
+      WITH e AS ($SqlEMOD),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      s0 AS (SELECT vid, 1.0 AS hub, 1.0 AS auth FROM v)"""
+    val body = (1 to rounds).map { k =>
+      s"""
+      , ar$k AS MATERIALIZED (SELECT v.vid, COALESCE(x.m, 0.0) AS a_raw FROM v LEFT JOIN (
+          SELECT e.dst AS vid, SUM(p.hub) AS m FROM e JOIN s${k - 1} p ON e.src = p.vid GROUP BY e.dst
+        ) x ON v.vid = x.vid)
+      , hr$k AS MATERIALIZED (SELECT v.vid, COALESCE(x.m, 0.0) AS h_raw FROM v LEFT JOIN (
+          SELECT e.src AS vid, SUM(a.a_raw) AS m FROM e JOIN ar$k a ON e.dst = a.vid GROUP BY e.src
+        ) x ON v.vid = x.vid)
+      , s$k AS MATERIALIZED (SELECT hr.vid,
+          CASE WHEN (SELECT SQRT(SUM(h_raw * h_raw)) FROM hr$k) > 0
+            THEN hr.h_raw / (SELECT SQRT(SUM(h_raw * h_raw)) FROM hr$k) ELSE 0.0 END AS hub,
+          CASE WHEN (SELECT SQRT(SUM(a_raw * a_raw)) FROM ar$k) > 0
+            THEN ar.a_raw / (SELECT SQRT(SUM(a_raw * a_raw)) FROM ar$k) ELSE 0.0 END AS auth
+        FROM hr$k hr JOIN ar$k ar ON hr.vid = ar.vid)"""
+    }.mkString
+    init + body +
+      s"\n      SELECT vid, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM s$rounds"
   }
 
   private def wccSql: String = s"""
@@ -713,6 +783,8 @@ object SparkEntry {
       SELECT COUNT(*) AS n_edges FROM (
         SELECT src, dst FROM ($SqlEMOD) UNION SELECT dst AS src, src AS dst FROM ($SqlEMOD))""",
     "q_pagerank" -> pagerankSql,
+    "q_ppr" -> pprSql(rounds = 5, nSeeds = 5),
+    "q_hits" -> hitsSql(rounds = 5),
     "q_apsp_sample" -> s"""
       WITH RECURSIVE e0 AS ($SqlEMOD),
       und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),

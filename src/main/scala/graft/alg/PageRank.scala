@@ -88,6 +88,74 @@ object PageRank {
   }
 
   /**
+   * Personalized PageRank (random walk with restart to a seed set) — a
+   * link-graph extension beyond the reference (`totem_page_rank.cu` has only
+   * the global variant): textbook semantics
+   *   value(v) = (1-d)·seed(v) + d·Σ_{u→v} value(u)/outdeg(u)
+   * with seed(v) = 1/|S| for v ∈ S, else 0, iterated a fixed `rounds` times
+   * from value = seed. No dangling-mass redistribution (matching the global
+   * variant's reference semantics).
+   *
+   * Same per-superstep plan shape as [[run]]: the state carries the
+   * PRE-DIVIDED score (value/outdeg), so the scatter is one adjacency join +
+   * map-side-combined sum — one O(V-ish) Exchange per superstep. The seed
+   * set is a column on the O(V) state, never a driver-side structure.
+   */
+  def personalized(edges: DataFrame,
+                   seeds: Seq[Long],
+                   rounds: Int = 5,
+                   damping: Double = 0.85,
+                   checkpointDir: Option[String] = None,
+                   verbose: Boolean = false): Result = {
+    require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
+    val spark = edges.sparkSession
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
+    val e = edges.count()
+    val seedMass = 1.0 / seeds.size
+
+    // (vid, deg, base): base = (1-d)·seed(v) — the restart distribution
+    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
+      .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"),
+        when(col(Graph.VID).isInCollection(seeds),
+          lit((1.0 - damping) * seedMass)).otherwise(lit(0.0)).as("base"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    degs.count()
+
+    // stored = value/deg; init value = seed(v)
+    val init = degs.select(col(Graph.VID),
+      when(col("deg") > 0,
+        when(col(Graph.VID).isInCollection(seeds), lit(seedMass)).otherwise(lit(0.0))
+          / col("deg"))
+        .otherwise(when(col(Graph.VID).isInCollection(seeds), lit(seedMass))
+          .otherwise(lit(0.0))).as("stored"),
+      when(col(Graph.VID).isInCollection(seeds), lit(seedMass)).otherwise(lit(0.0))
+        .as("value"))
+
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = rounds, checkpointDir = checkpointDir,
+        verbose = verbose)) { (state, superstep) =>
+      val msgs = adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID), col("stored"))
+        .groupBy(Graph.VID).agg(sum("stored").as("mbox"))
+      val next = degs
+        .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
+        .select(col(Graph.VID), col("deg"),
+          (col("base") + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
+        .select(col(Graph.VID),
+          when(col("deg") > 0, col("value") / col("deg"))
+            .otherwise(col("value")).as("stored"),
+          col("value"))
+      StepResult(next, edgesTraversed = e, converged = superstep == rounds)
+    }
+    adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    Result(outcome.state.select(col(Graph.VID), col("value").as("rank")), outcome.metrics)
+  }
+
+  /**
    * Convergence mode (north rule's "iterations-to-convergence"): same update
    * rule but iterate until L∞(new-old) < tol on the UNDIVIDED values.
    * Returns (ranks, iterations, metrics).

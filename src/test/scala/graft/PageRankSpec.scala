@@ -73,4 +73,21 @@ class PageRankSpec extends SparkSpec {
     assert(res.metrics.size == 5) // PAGE_RANK_ROUNDS
     assert(res.metrics.forall(_.edgesTraversed == e))
   }
+
+  test("personalized: hand-computed chain values, 2 rounds") {
+    // 0→1→2, seed {0}: round1 value = (0.15, 0.85, 0);
+    // round2 = (0.15, 0.1275, 0.7225)
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = toMap[Double](PageRank.personalized(edges, Seq(0L), rounds = 2).ranks)
+    assert(math.abs(r(0L) - 0.15) < 1e-12)
+    assert(math.abs(r(1L) - 0.1275) < 1e-12)
+    assert(math.abs(r(2L) - 0.7225) < 1e-12)
+  }
+
+  test("personalized: mass never reaches vertices unreachable from the seeds") {
+    val edges = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")
+    val r = toMap[Double](PageRank.personalized(edges, Seq(0L), rounds = 5).ranks)
+    assert(r(2L) == 0.0 && r(3L) == 0.0, "disconnected component must stay at 0")
+    assert(r(0L) > 0 && r(1L) > 0)
+  }
 }
