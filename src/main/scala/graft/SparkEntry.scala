@@ -52,6 +52,26 @@ object SparkEntry {
       (col("l_partkey") % 500).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
 
+  /** Shared recall-floor scaffold for the approximate-ANN rows
+   * (q_ann_lsh_recall / q_ann_ivf_recall): per query, |approx∩brute|/k ≥ 0.6
+   * computed IN the plan; the DuckDB oracle asserts every query row comes
+   * back recall_ok=true, so a recall regression turns the row red. */
+  private def recallFloor(s: SparkSession, dir: String,
+      topk: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val approx = topk(emb, queries).select(col("query_id"), col("vec_id"))
+    val brute = graft.ann.Ann.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val overlap = approx.join(brute, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    brute.select("query_id").distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n"), lit(0L)) >= lit(6L)).as("recall_ok"))
+  }
+
   private val SqlEPS =
     "SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem"
   private val SqlEMOD =
@@ -270,40 +290,17 @@ object SparkEntry {
       // Σ_{r≤2} C(4,r)·0.6^(4-r)·0.4^r ≈ 0.82 — measured 0.6–0.9 per query
       // (RecallProbe), floor 0.6. Deterministic: hash-seeded planes, fixed
       // data.
-      val emb = embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val lsh = graft.ann.Ann.lshTopK(emb, queries, k = 10, planes = 4, probeRadius = 2)
-        .select(col("query_id"), col("vec_id"))
-      val brute = graft.ann.Ann.bruteForceTopK(emb, queries, k = 10)
-        .select(col("query_id"), col("vec_id"))
-      val overlap = lsh.join(brute, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-      brute.select("query_id").distinct()
-        .join(overlap, Seq("query_id"), "left")
-        .select(col("query_id"),
-          (coalesce(col("n"), lit(0L)) >= lit(6L)).as("recall_ok"))
+      recallFloor(s, dir, (emb, q) =>
+        graft.ann.Ann.lshTopK(emb, q, k = 10, planes = 4, probeRadius = 2))
     }),
-    "q_ann_ivf_recall" -> ((s, dir) => {
-      // same recall-floor pattern for the IVF coarse-quantizer path
+    "q_ann_ivf_recall" -> ((s, dir) =>
+      // same recall-floor scaffold for the IVF coarse-quantizer path
       // (Ivf.ivfTopK): nlist = 16 lists, nprobe = 4 (25% probed) on the
       // 500-vector verify corpus — measured 0.7–1.0 recall per query
       // (RecallProbe ivf sweep), floor 0.6. Deterministic: id-ordered
       // sample, stride init, struct tie-breaks.
-      val emb = embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val ivf = graft.ann.Ivf.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("vec_id"))
-      val brute = graft.ann.Ann.bruteForceTopK(emb, queries, k = 10)
-        .select(col("query_id"), col("vec_id"))
-      val overlap = ivf.join(brute, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-      brute.select("query_id").distinct()
-        .join(overlap, Seq("query_id"), "left")
-        .select(col("query_id"),
-          (coalesce(col("n"), lit(0L)) >= lit(6L)).as("recall_ok"))
-    }),
+      recallFloor(s, dir, (emb, q) =>
+        graft.ann.Ivf.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4))),
     "q_embed_top_pairs" -> ((s, dir) => {
       val pairs = graft.ann.Ann.bruteForceNearDupPairs(embeddings(s, dir), threshold = -2.0)
       pairs.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(50)

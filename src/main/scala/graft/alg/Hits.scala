@@ -35,8 +35,7 @@ object Hits {
           checkpointDir: Option[String] = None,
           verbose: Boolean = false): Result = {
     val adjF = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val adjR = Adjacency.build(
-        edges.select(col(Graph.DST).as(Graph.SRC), col(Graph.SRC).as(Graph.DST)))
+    val adjR = Adjacency.build(Graph.reverse(edges))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adjF.count(); adjR.count() // partition build is init-time, not alg_exec
     val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
@@ -45,9 +44,14 @@ object Hits {
 
     val init = verts.select(col(Graph.VID), lit(1.0).as("hub"), lit(1.0).as("auth"))
 
+    // `raw` below outlives its superstep (the returned `next` plan reads
+    // it), so it is released at the START of the following closure call —
+    // by then Superstep has materialized `next` (cut-before-probe contract)
+    var pendingRelease: Option[DataFrame] = None
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = rounds, checkpointDir = checkpointDir,
         verbose = verbose)) { (state, superstep) =>
+      pendingRelease.foreach(graft.core.Lineage.release); pendingRelease = None
       // auth'(v) = Σ_{u→v} hub(u): state shuffles by vid (O(V)); the
       // pre-partitioned adjacency side stays put (shuffle_hash keeps the
       // stats-free loop frame off sort-merge, as in PageRank.run)
@@ -55,18 +59,25 @@ object Hits {
           adjF(Graph.SRC) === state(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID), col("hub"))
         .groupBy(Graph.VID).agg(sum("hub").as("a_raw"))
-      val authed = verts
+      // materialize ONCE: `authed` feeds both the reverse scatter and the
+      // final join — without the cut the forward scatter subtree would
+      // execute twice per superstep (the double-execution
+      // PageRank.runUntilConverged guards against)
+      val authed = graft.core.Lineage.cut(verts
         .join(authMsgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
-        .select(col(Graph.VID), coalesce(col("a_raw"), lit(0.0)).as("a_raw"))
+        .select(col(Graph.VID), coalesce(col("a_raw"), lit(0.0)).as("a_raw")))
       // hub'(u) = Σ_{u→v} auth'(v): reverse scatter of the fresh auth
       val hubMsgs = adjR.join(authed.hint("shuffle_hash"),
           adjR(Graph.SRC) === authed(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID), col("a_raw"))
         .groupBy(Graph.VID).agg(sum("a_raw").as("h_raw"))
-      val raw = authed
+      // same single-materialization rule: `raw` feeds the norm aggregate
+      // AND the output select
+      val raw = graft.core.Lineage.cut(authed
         .join(hubMsgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
         .select(col(Graph.VID), coalesce(col("h_raw"), lit(0.0)).as("h_raw"),
-          col("a_raw"))
+          col("a_raw")))
+      graft.core.Lineage.release(authed) // raw is materialized; safe now
       // L2 norms: single-row aggregate, broadcast back (no vertex collect)
       val norms = raw.agg(
         sqrt(sum(col("h_raw") * col("h_raw"))).as("hn"),
@@ -75,8 +86,10 @@ object Hits {
         .select(col(Graph.VID),
           when(col("hn") > 0, col("h_raw") / col("hn")).otherwise(0.0).as("hub"),
           when(col("an") > 0, col("a_raw") / col("an")).otherwise(0.0).as("auth"))
+      pendingRelease = Some(raw)
       StepResult(next, edgesTraversed = 2 * e, converged = superstep == rounds)
     }
+    pendingRelease.foreach(graft.core.Lineage.release)
 
     adjF.unpersist(blocking = false); adjR.unpersist(blocking = false)
     verts.unpersist(blocking = false)

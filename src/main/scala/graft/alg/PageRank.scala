@@ -108,7 +108,6 @@ object PageRank {
                    checkpointDir: Option[String] = None,
                    verbose: Boolean = false): Result = {
     require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
-    val spark = edges.sparkSession
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,23 +115,20 @@ object PageRank {
     val e = edges.count()
     val seedMass = 1.0 / seeds.size
 
-    // (vid, deg, base): base = (1-d)·seed(v) — the restart distribution
+    // (vid, deg, seed): seed = restart mass — evaluated once here, derived
+    // columns below read the persisted frame
     val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
       .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"),
-        when(col(Graph.VID).isInCollection(seeds),
-          lit((1.0 - damping) * seedMass)).otherwise(lit(0.0)).as("base"))
+        when(col(Graph.VID).isInCollection(seeds), lit(seedMass))
+          .otherwise(lit(0.0)).as("seed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     degs.count()
 
     // stored = value/deg; init value = seed(v)
     val init = degs.select(col(Graph.VID),
-      when(col("deg") > 0,
-        when(col(Graph.VID).isInCollection(seeds), lit(seedMass)).otherwise(lit(0.0))
-          / col("deg"))
-        .otherwise(when(col(Graph.VID).isInCollection(seeds), lit(seedMass))
-          .otherwise(lit(0.0))).as("stored"),
-      when(col(Graph.VID).isInCollection(seeds), lit(seedMass)).otherwise(lit(0.0))
-        .as("value"))
+      when(col("deg") > 0, col("seed") / col("deg"))
+        .otherwise(col("seed")).as("stored"),
+      col("seed").as("value"))
 
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = rounds, checkpointDir = checkpointDir,
@@ -143,7 +139,8 @@ object PageRank {
       val next = degs
         .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
         .select(col(Graph.VID), col("deg"),
-          (col("base") + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
+          (lit(1.0 - damping) * col("seed")
+            + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
         .select(col(Graph.VID),
           when(col("deg") > 0, col("value") / col("deg"))
             .otherwise(col("value")).as("stored"),
