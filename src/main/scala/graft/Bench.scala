@@ -51,8 +51,11 @@ object Bench {
   // q_label_prop_pruned_full (full-convergence run of the top-16-pruned
   // scale path — the same algorithm the oracle-checked fixed-iteration
   // q_label_prop_pruned exercises) represents label propagation here.
+  // q_hits / q_ppr joined the list in round 3 (new operators) — when
+  // comparing totals across rounds, compare per-query entries, not totals.
   private val Headline = Seq(
-    "q_pagerank", "q_wcc", "q_triangles", "q_label_prop_pruned_full", "q_bfs",
+    "q_pagerank", "q_ppr", "q_hits", "q_wcc", "q_triangles",
+    "q_label_prop_pruned_full", "q_bfs",
     "q_sssp", "q_out_degree", "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality", "q_ngram_jaccard")
 
