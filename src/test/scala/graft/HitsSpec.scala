@@ -57,6 +57,19 @@ class HitsSpec extends SparkSpec {
     assert(math.abs(n.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("per-superstep intermediates are released (no block-manager leak)") {
+    // Hits cuts two intermediates per superstep (authed, raw) and must
+    // release them deterministically — 4 rounds would otherwise leave 8
+    // localCheckpoint block sets behind until GC
+    val edges = GraphGen.rmat(spark, 6, 8, seed = 3).cache()
+    edges.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Hits.run(edges, rounds = 4).scores.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // the caller-owned outcome state may remain; async unpersists may lag
+    assert(after - before <= 3, s"persistent RDDs grew $before -> $after")
+  }
+
   test("metrics record one step per round, 2E traversals each") {
     val edges = GraphGen.chain(spark, 10)
     val e = edges.count()
