@@ -84,6 +84,10 @@ object Bench {
       // the sandbox hypervisor occasionally stalls the whole VM for minutes;
       // don't let the heartbeat receiver kill the local executor over it
       .config("spark.network.timeout", "600s")
+      // chunked-adjacency rows carry up-to-4096-long arrays; the default
+      // 10000-row columnar cache batch makes ~300 MB humongous allocations
+      // (G1 GCLocker storms on rmat s24) — 512 rows ≈ 16 MB batches
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", "512")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

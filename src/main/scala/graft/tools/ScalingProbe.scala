@@ -52,6 +52,12 @@ object ScalingProbe {
       // the sandbox host occasionally stalls the whole VM for >2 min; do not
       // let the heartbeat receiver kill the local executor over it
       .config("spark.network.timeout", "600s")
+      // the chunked adjacency caches rows carrying up-to-4096-long arrays;
+      // at the default 10000-row columnar batch a single cache batch is a
+      // ~300 MB humongous allocation (measured: GCLocker retry storms, then
+      // heap exhaustion on rmat s24 at 16g). 512 rows ≈ 16 MB batches keep
+      // the cache G1-friendly at any graph scale; plan shape is unaffected
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", "512")
     base match {
       case "zstd"   => b.config("spark.io.compression.codec", "zstd")
       case "snappy" => b.config("spark.io.compression.codec", "snappy")
