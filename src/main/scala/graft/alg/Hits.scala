@@ -33,6 +33,7 @@ object Hits {
   def run(edges: DataFrame,
           rounds: Int = 5,
           checkpointDir: Option[String] = None,
+          resume: Boolean = false,
           verbose: Boolean = false): Result = {
     val adjF = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val adjR = Adjacency.build(Graph.reverse(edges))
@@ -50,7 +51,7 @@ object Hits {
     var pendingRelease: Option[DataFrame] = None
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = rounds, checkpointDir = checkpointDir,
-        verbose = verbose)) { (state, superstep) =>
+        resume = resume, verbose = verbose)) { (state, superstep) =>
       pendingRelease.foreach(graft.core.Lineage.release); pendingRelease = None
       // auth'(v) = Σ_{u→v} hub(u): state shuffles by vid (O(V)); the
       // pre-partitioned adjacency side stays put (shuffle_hash keeps the

@@ -106,6 +106,7 @@ object PageRank {
                    rounds: Int = 5,
                    damping: Double = 0.85,
                    checkpointDir: Option[String] = None,
+                   resume: Boolean = false,
                    verbose: Boolean = false): Result = {
     require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
@@ -132,7 +133,7 @@ object PageRank {
 
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = rounds, checkpointDir = checkpointDir,
-        verbose = verbose)) { (state, superstep) =>
+        resume = resume, verbose = verbose)) { (state, superstep) =>
       val msgs = adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
         .select(explode(col("nbrs")).as(Graph.VID), col("stored"))
         .groupBy(Graph.VID).agg(sum("stored").as("mbox"))

@@ -70,6 +70,19 @@ class HitsSpec extends SparkSpec {
     assert(after - before <= 3, s"persistent RDDs grew $before -> $after")
   }
 
+  test("checkpointed run resumes mid-iteration to the same scores") {
+    val edges = GraphGen.rmat(spark, 6, 8, seed = 5).cache()
+    val dir = java.nio.file.Files.createTempDirectory("hitsckpt").toString
+    val expected = scoresOf(Hits.run(edges, rounds = 4).scores)
+    Hits.run(edges, rounds = 2, checkpointDir = Some(dir))
+    val resumed = scoresOf(
+      Hits.run(edges, rounds = 4, checkpointDir = Some(dir), resume = true).scores)
+    expected.foreach { case (vid, (h, a)) =>
+      assert(math.abs(resumed(vid)._1 - h) < 1e-12, s"vid=$vid hub")
+      assert(math.abs(resumed(vid)._2 - a) < 1e-12, s"vid=$vid auth")
+    }
+  }
+
   test("metrics record one step per round, 2E traversals each") {
     val edges = GraphGen.chain(spark, 10)
     val e = edges.count()
