@@ -176,6 +176,11 @@ object SparkEntry {
     }),
     "q_kcore" -> ((s, dir) =>
       graft.alg.Cores.kCore(eMOD(s, dir), k = 8)),
+    "q_ktruss" -> ((s, dir) =>
+      // k=50 sits just under the eMOD support phase transition (median
+      // support 73 at sf0.01): real peeling happens (4 rounds to fixpoint)
+      // and the truss stays non-empty — both regimes exercised
+      graft.alg.Truss.kTruss(eMOD(s, dir), k = 50)),
     "q_maxflow" -> ((s, dir) => {
       import s.implicits._
       // small derived DAG: region->nation->supplier capacities from keys
@@ -210,6 +215,13 @@ object SparkEntry {
       val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
         .collect().map(_.getLong(0)).toSeq
       graft.alg.Traversals.closeness(e, roots)
+    }),
+    "q_harmonic" -> ((s, dir) => {
+      val e = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.alg.Traversals.harmonic(e, roots)
+        .select(col("vid"), round(col("harmonic"), 6).as("harmonic"))
     }),
     "q_betweenness" -> ((s, dir) => {
       val e = Graph.undirected(eMOD(s, dir))
@@ -250,6 +262,16 @@ object SparkEntry {
       graft.dedup.Dedup.ngramJaccardPairs(documents(s, dir), n = 5,
         threshold = 0.5, maxShingleFreq = 1000)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q_dedup_cluster" -> ((s, dir) => {
+      // canonicalization stage of the fuzzy-dedup pipeline: ngram-Jaccard
+      // pairs (threshold 0.5, same config as q_ngram_jaccard) → WCC over
+      // the pair graph → cluster = min doc_id (the keeper), singletons
+      // keep themselves
+      val docs = documents(s, dir)
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, n = 5,
+        threshold = 0.5, maxShingleFreq = 1000)
+      graft.dedup.Dedup.nearDupClusters(docs, pairs)
+    }),
     "q_minhash_sig" -> ((s, dir) => {
       val sig = graft.dedup.MinHash.md5Signatures(documents(s, dir), k = 8, n = 5)
       sig.select(col("doc_id") +: (0 until 8).map(i => col("sig")(i).as(s"h$i")): _*)
@@ -661,6 +683,63 @@ object SparkEntry {
     init + peel + s"\n      SELECT DISTINCT src AS vid FROM e$rounds"
   }
 
+  /** k-truss peeling unrolled to `rounds` (monotone like k-core — a
+   * too-small unroll mismatches LOUDLY): per round, per-edge triangle
+   * support via the same canonical triple-join as [[trianglesSql]], keep
+   * edges with support ≥ k−2. MATERIALIZED for the same
+   * exponential-inlining reason as [[kcoreSql]]. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val init = s"""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM ($SqlEMOD))"""
+    val peel = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""
+      , tri$r AS MATERIALIZED (
+          SELECT t1.a AS x, t1.b AS y, t2.b AS z
+          FROM e$p t1 JOIN e$p t2 ON t1.b = t2.a JOIN e$p t3 ON t3.a = t1.a AND t3.b = t2.b)
+      , supp$r AS MATERIALIZED (
+          SELECT a, b, COUNT(*) AS s FROM (
+            SELECT x AS a, y AS b FROM tri$r
+            UNION ALL SELECT x AS a, z AS b FROM tri$r
+            UNION ALL SELECT y AS a, z AS b FROM tri$r) GROUP BY a, b)
+      , e$r AS MATERIALIZED (
+          SELECT e.a, e.b FROM e$p e LEFT JOIN supp$r s ON e.a = s.a AND e.b = s.b
+          WHERE COALESCE(s.s, 0) >= ${k - 2})"""
+    }.mkString
+    init + peel + s"\n      SELECT a, b FROM e$rounds"
+  }
+
+  /** Near-dup clustering oracle: the q_ngram_jaccard pair CTEs (threshold
+   * 0.5), then min-label transitive closure over the pair graph (recursive
+   * reach, mirror of [[wccSql]]) and a left join back to the full corpus —
+   * singletons cluster to themselves. */
+  private def dedupClusterSql: String = s"""
+    WITH RECURSIVE norm AS MATERIALIZED (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, substring(t, i, 5) AS sh
+           FROM norm, UNNEST(generate_series(1, GREATEST(length(t) - 4, 0))) AS u(i)),
+    sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pr AS MATERIALIZED (
+      SELECT ia AS id_a, ib AS id_b
+      FROM inter JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+    und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      SELECT id_a AS src, id_b AS dst FROM pr UNION ALL SELECT id_b AS src, id_a AS dst FROM pr)),
+    reach(v, r) AS (
+      SELECT src AS v, src AS r FROM und
+      UNION
+      SELECT und.dst, reach.r FROM reach JOIN und ON reach.v = und.src
+    ),
+    comp AS (SELECT v, MIN(r) AS c FROM reach GROUP BY v)
+    SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster,
+      (d.doc_id = COALESCE(comp.c, d.doc_id)) AS is_keeper
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.v"""
+
   /** Max-flow closed form for the q_maxflow network, by min-cut: the DAG is
    * source →(cap 3)→ nation →(cap 1)→ its suppliers →(cap 1)→ sink, nations
    * independent, every supplier in exactly one nation ⇒
@@ -832,6 +911,19 @@ object SparkEntry {
     "q_ann_ivf_recall" ->
       "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
     "q_kcore" -> kcoreSql(k = 8, rounds = 12),
+    "q_ktruss" -> ktrussSql(k = 50, rounds = 6),
+    "q_dedup_cluster" -> dedupClusterSql,
+    "q_harmonic" -> s"""
+      WITH RECURSIVE e0 AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      roots AS (SELECT src AS r FROM (SELECT DISTINCT src FROM e0 ORDER BY src LIMIT 3)),
+      walk(root, v, d) AS (
+        SELECT r, r, 0 FROM roots
+        UNION
+        SELECT walk.root, und.dst, walk.d + 1 FROM walk JOIN und ON walk.v = und.src WHERE walk.d < 15
+      ),
+      lvl AS (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v)
+      SELECT root AS vid, ROUND(SUM(1.0 / d), 6) AS harmonic FROM lvl WHERE d > 0 GROUP BY root""",
     "q_maxflow" -> maxflowSql,
     "q_betweenness" -> brandesSql(stress = false, depth = 8, nRoots = 3),
     "q_stress" -> brandesSql(stress = true, depth = 8, nRoots = 3),

@@ -193,4 +193,23 @@ object Traversals {
         when(col("sd") > 0, (col("n") - 1).cast("double") / col("sd"))
           .otherwise(lit(0.0)).as("closeness"))
   }
+
+  /** Harmonic centrality for a set of source vertices, exact per source:
+   * harmonic(s) = Σ_{v ≠ s reachable} 1/dist(s,v) — the
+   * disconnected-robust variant of closeness (Boldi & Vigna, "Axioms for
+   * Centrality": unreachable vertices contribute 0 instead of poisoning
+   * the mean). Shares the one batched [[Centrality.multiSourceBfs]] job
+   * across all roots like [[closeness]]. Returns (vid, harmonic) keyed by
+   * root; roots reaching nothing get 0.0. */
+  def harmonic(edges: DataFrame, sources: Seq[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val levels = Centrality.multiSourceBfs(edges, sources)
+    val scores = levels.filter(col("dist") > 0)
+      .groupBy(col("root"))
+      .agg(sum(lit(1.0) / col("dist")).as("h"))
+    sources.toDF("root").join(scores, Seq("root"), "left")
+      .select(col("root").as(Graph.VID),
+        coalesce(col("h"), lit(0.0)).as("harmonic"))
+  }
 }

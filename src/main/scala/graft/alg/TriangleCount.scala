@@ -51,9 +51,12 @@ object TriangleCount {
       .filter(col("a") =!= col("b"))
       .distinct()
 
-  /** Distinct triangles (a,b,c) of the canonical edge set, each exactly once.
-   * Degree-ordered orientation bounds wedge fan-out under skew. */
-  def triangles(canon: DataFrame): DataFrame = {
+  /** Degree-ordered orientation of the canonical edge set: each undirected
+   * edge as (u, v) with u the lower-(deg, id) endpoint. NOT persisted — the
+   * plan references it three times (two wedge sides + closing probe), so
+   * callers that execute it should cache it for the read
+   * ([[triangles]] does; [[Truss.kTruss]] manages its own per-round copy). */
+  private[alg] def orient(canon: DataFrame): DataFrame = {
     // undirected degree for orientation
     val deg = canon.select(col("a").as(Graph.VID))
       .union(canon.select(col("b").as(Graph.VID)))
@@ -62,12 +65,24 @@ object TriangleCount {
     val withDeg = canon
       .join(deg.select(col(Graph.VID).as("a"), col("deg").as("da")), "a")
       .join(deg.select(col(Graph.VID).as("b"), col("deg").as("db")), "b")
-    val oriented = withDeg.select(
+    withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Distinct triangles (a,b,c) of the canonical edge set, each exactly once.
+   * Degree-ordered orientation bounds wedge fan-out under skew. */
+  def triangles(canon: DataFrame): DataFrame = {
+    val oriented = orient(canon).persist(StorageLevel.MEMORY_AND_DISK)
+    trianglesOfOriented(oriented)
+  }
+
+  /** Triangle enumeration over an already-materialized orientation —
+   * the loop body form used by [[Truss.kTruss]], which persists and
+   * releases the oriented frame itself once per peel round. */
+  private[alg] def trianglesOfOriented(oriented: DataFrame): DataFrame = {
     // wedges at the pivot u: pairs of out-neighbors (v1 < v2 in orientation
     // order ⇒ compare (deg,id) — but out-edges already point "up", so any
     // consistent pair ordering works; order by v id for determinism)

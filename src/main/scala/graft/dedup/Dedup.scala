@@ -139,4 +139,41 @@ object Dedup {
     graft.alg.ConnectedComponents.run(edges).components
       .select(col("vid").as("doc_id"), col("component").as("group_id"))
   }
+
+  /**
+   * Full-corpus near-duplicate clustering — the canonicalization stage of a
+   * fuzzy-dedup pipeline (pairs → transitive closure → one keeper per
+   * cluster): every document gets a cluster id = the minimum doc id of its
+   * connected component in the near-dup pair graph (HashMin WCC, so the
+   * cluster id IS the keeper id); documents in no pair are their own
+   * singleton cluster. `pairs` can come from ANY candidate generator
+   * ([[ngramJaccardPairs]], MinHash LSH band pairs, SimHash banded pairs,
+   * embedding-cosine pairs) — the contract is just (id_a, id_b).
+   *
+   * Returns (id, cluster, is_keeper). Scale shape: the pair graph is tiny
+   * relative to the corpus (near-dup rate ≪ 1), so the WCC runs on the
+   * pairs only and the corpus joins in once at the end — no per-superstep
+   * touch of the full document table.
+   */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame,
+                      id: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.alg.ConnectedComponents.run(edges).components
+    docs.select(col(id))
+      .join(comp.select(col("vid").as(id), col("component")), Seq(id), "left")
+      .select(col(id),
+        coalesce(col("component"), col(id)).as("cluster"))
+      .withColumn("is_keeper", col(id) === col("cluster"))
+  }
+
+  /** End-to-end fuzzy dedup: n-gram-Jaccard candidate pairs at `threshold`
+   * → [[nearDupClusters]] → keep only each cluster's keeper row. */
+  def dedupFuzzy(docs: DataFrame, n: Int = 5, threshold: Double = 0.7,
+                 maxShingleFreq: Int = 1000,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, n, threshold, maxShingleFreq, id, text)
+    val keepers = nearDupClusters(docs, pairs, id)
+      .filter(col("is_keeper")).select(col(id))
+    docs.join(keepers, Seq(id), "left_semi")
+  }
 }

@@ -69,6 +69,25 @@ class DedupSpec extends SparkSpec {
     assert(groups(0L) == 0L && groups(1L) == 0L && groups(2L) == 0L)
   }
 
+  test("nearDupClusters: transitive closure, singleton self-clusters, keeper flags") {
+    // A~B and B~C but not A~C: one cluster via transitivity; 3 and 5 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 4L)).toDF("id_a", "id_b")
+    val rows = Dedup.nearDupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size == 6)
+    Seq(0L, 1L, 2L, 4L).foreach(d => assert(rows(d)._1 == 0L, s"doc $d"))
+    assert(rows(3L) == (3L, true) && rows(5L) == (5L, true))
+    assert(rows(0L)._2 && !rows(1L)._2 && !rows(2L)._2 && !rows(4L)._2)
+  }
+
+  test("dedupFuzzy keeps one representative per near-dup cluster") {
+    // at threshold 0.5 docs 0/1/2/4 are mutual near-dups (q_ngram_jaccard
+    // config); 3 and 5 are unrelated -> 3 survivors, min ids
+    val kept = Dedup.dedupFuzzy(docs, n = 5, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 5L))
+  }
+
   test("prefix-filtered jaccard equals the exhaustive all-pairs computation") {
     // exactness of the PPJoin-style candidate stage: same pair set and same
     // jaccard values as brute force on the real documents table

@@ -51,6 +51,22 @@ class TraversalSpec extends SparkSpec {
     assert(Traversals.stConnected(edges, 5L, 5L))
   }
 
+  test("harmonic centrality: exact closed forms on chain, complete, disconnected") {
+    import spark.implicits._
+    // chain 0-1-2-3-4 from root 0: 1 + 1/2 + 1/3 + 1/4
+    val chain = graft.gen.GraphGen.chain(spark, 5)
+    val h = toMap[Double](Traversals.harmonic(chain, Seq(0L, 2L)))
+    assert(math.abs(h(0L) - (1.0 + 0.5 + 1.0 / 3 + 0.25)) < 1e-12)
+    assert(math.abs(h(2L) - (1.0 + 1.0 + 0.5 + 0.5)) < 1e-12)
+    // complete graph: n-1 from any root
+    val k6 = graft.gen.GraphGen.complete(spark, 6)
+    assert(toMap[Double](Traversals.harmonic(k6, Seq(3L)))(3L) == 5.0)
+    // root with no outgoing reach: 0.0 (disconnected-robust, no poisoning)
+    val disc = Seq((0L, 1L), (5L, 6L)).toDF("src", "dst")
+    val hd = toMap[Double](Traversals.harmonic(disc, Seq(0L, 5L)))
+    assert(hd(0L) == 1.0 && hd(5L) == 1.0)
+  }
+
   test("closeness on a star: hub highest") {
     val edges = GraphGen.star(spark, 8)
     val c = toMap[Double](Traversals.closeness(edges, Seq(0L, 1L)))
