@@ -51,13 +51,19 @@ object Bench {
   // q_label_prop_pruned_full (full-convergence run of the top-16-pruned
   // scale path — the same algorithm the oracle-checked fixed-iteration
   // q_label_prop_pruned exercises) represents label propagation here.
-  // q_hits / q_ppr joined the list in round 3 (new operators) — when
-  // comparing totals across rounds, compare per-query entries, not totals.
+  // q_hits / q_ppr / q_ktruss / q_harmonic / q_random_walk /
+  // q_event_windows / q_sessionize joined the list in round 3 (new
+  // operators) — when comparing totals across rounds, compare per-query
+  // entries, not totals. q_dedup_cluster is deliberately NOT benched: ~90%
+  // of its cost is the PPJoin candidate stage already benched as
+  // q_ngram_jaccard (the WCC closure over the pair graph adds ~5 s).
   private val Headline = Seq(
-    "q_pagerank", "q_ppr", "q_hits", "q_wcc", "q_triangles",
+    "q_pagerank", "q_ppr", "q_hits", "q_wcc", "q_triangles", "q_ktruss",
     "q_label_prop_pruned_full", "q_bfs",
-    "q_sssp", "q_out_degree", "q_dedup_exact", "q_minhash_sig", "q_simhash",
-    "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality", "q_ngram_jaccard")
+    "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk",
+    "q_dedup_exact", "q_minhash_sig", "q_simhash",
+    "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality",
+    "q_event_windows", "q_sessionize", "q_ngram_jaccard")
 
   private val HeadlinePasses = 3
 

@@ -36,6 +36,8 @@ object SparkEntry {
 
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -235,6 +237,26 @@ object SparkEntry {
       val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
         .collect().map(_.getLong(0)).toSeq
       graft.alg.Centrality.stress(e, roots)
+    }),
+
+    "q_random_walk" -> ((s, dir) =>
+      // deterministic md5-argmin walks of length 8 from EVERY vertex — the
+      // reproducible DeepWalk-style corpus sampler; all 500 walks advance
+      // in lockstep supersteps
+      graft.alg.RandomWalk.walksFromAll(eMOD(s, dir), length = 8, seed = 42L)),
+
+    // ---- event stream (batch = streaming plan, driver-checkable) ----
+    "q_event_windows" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCounts(events(s, dir))),
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStream.Event]
+      graft.streaming.EventStream.sessionize(ev, gapMs = 30L * 60 * 1000).toDF()
+        .select(col("user_id"), col("start").as("session_start"),
+          col("end").as("session_end"), col("n_events"),
+          round(col("total_value"), 6).as("total_value"))
     }),
 
     // ---- text analysis ----
@@ -740,6 +762,42 @@ object SparkEntry {
       (d.doc_id = COALESCE(comp.c, d.doc_id)) AS is_keeper
     FROM documents d LEFT JOIN comp ON d.doc_id = comp.v"""
 
+  /** Deterministic-walk oracle: step CTEs unrolled, per walk the next hop
+   * minimizes (md5(seed|walk|step|nbr), nbr) — exactly
+   * [[graft.alg.RandomWalk.walks]]'s struct-min. MATERIALIZED: each step
+   * feeds both the next step and the final union. */
+  private def randomWalkSql(length: Int, seed: Long): String = {
+    val init = s"""
+      WITH e AS MATERIALIZED ($SqlEMOD),
+      v AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      w0 AS MATERIALIZED (SELECT vid AS walk, 0 AS step, vid FROM v)"""
+    val steps = (1 to length).map { i =>
+      s"""
+      , w$i AS MATERIALIZED (SELECT walk, $i AS step, vid FROM (
+          SELECT w.walk, e.dst AS vid, ROW_NUMBER() OVER (PARTITION BY w.walk
+            ORDER BY md5(concat_ws('|', CAST($seed AS VARCHAR), CAST(w.walk AS VARCHAR),
+                                   CAST($i AS VARCHAR), CAST(e.dst AS VARCHAR))), e.dst) AS rn
+          FROM w${i - 1} w JOIN e ON w.vid = e.src) WHERE rn = 1)"""
+    }.mkString
+    val union = (0 to length).map(i => s"SELECT walk, step, vid FROM w$i").mkString(" UNION ALL ")
+    init + steps + s"\n      $union"
+  }
+
+  /** Gap sessionization oracle (30 min): same millisecond-floor timestamps
+   * as the Spark side (`Timestamp.getTime`), LAG-gap break + running sum =
+   * session id. */
+  private def sessionizeSql: String = """
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+    o AS (SELECT user_id, ms, value,
+      CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+    s AS (SELECT user_id, ms, value,
+      SUM(brk) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+    SELECT user_id, make_timestamp(MIN(ms) * 1000) AS session_start,
+      make_timestamp(MAX(ms) * 1000) AS session_end,
+      COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM s GROUP BY user_id, sid"""
+
   /** Max-flow closed form for the q_maxflow network, by min-cut: the DAG is
    * source →(cap 3)→ nation →(cap 1)→ its suppliers →(cap 1)→ sink, nations
    * independent, every supplier in exactly one nation ⇒
@@ -912,6 +970,12 @@ object SparkEntry {
       "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
     "q_kcore" -> kcoreSql(k = 8, rounds = 12),
     "q_ktruss" -> ktrussSql(k = 50, rounds = 6),
+    "q_random_walk" -> randomWalkSql(length = 8, seed = 42L),
+    "q_event_windows" -> """
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+      FROM events GROUP BY 1, 2""",
+    "q_sessionize" -> sessionizeSql,
     "q_dedup_cluster" -> dedupClusterSql,
     "q_harmonic" -> s"""
       WITH RECURSIVE e0 AS ($SqlEMOD),

@@ -157,7 +157,12 @@ object Dedup {
    */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame,
                       id: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // materialize the candidate pairs ONCE: the WCC consumes its edge table
+    // several times (adjacency build, degrees), and re-running an expensive
+    // candidate generator (PPJoin, LSH banding) per consumer is exactly the
+    // recompute a 100 TB pipeline cannot afford
+    val edges = graft.core.Lineage.cut(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     val comp = graft.alg.ConnectedComponents.run(edges).components
     docs.select(col(id))
       .join(comp.select(col("vid").as(id), col("component")), Seq(id), "left")
