@@ -762,22 +762,33 @@ object SparkEntry {
       (d.doc_id = COALESCE(comp.c, d.doc_id)) AS is_keeper
     FROM documents d LEFT JOIN comp ON d.doc_id = comp.v"""
 
-  /** Deterministic-walk oracle: step CTEs unrolled, per walk the next hop
-   * minimizes (md5(seed|walk|step|nbr), nbr) — exactly
-   * [[graft.alg.RandomWalk.walks]]'s struct-min. MATERIALIZED: each step
+  /** Deterministic-walk oracle: step CTEs unrolled; per step the walk moves
+   * to the `idx`-th smallest distinct neighbor of its current vertex with
+   * `idx = hash48(seed|walk|step) mod deg` — exactly
+   * [[graft.alg.RandomWalk.walks]]'s positional lookup. hash48 = the first
+   * 12 md5 hex digits parsed per digit (DuckDB has no hex→int cast; the
+   * polynomial mirrors Spark's `conv(_,16,10)`). MATERIALIZED: each step
    * feeds both the next step and the final union. */
   private def randomWalkSql(length: Int, seed: Long): String = {
+    def hash48(stepExpr: String): String = {
+      val md = s"md5(concat_ws('|', CAST($seed AS VARCHAR), CAST(w.walk AS VARCHAR), $stepExpr))"
+      (1 to 12).map { j =>
+        s"(strpos('0123456789abcdef', substring($md, $j, 1)) - 1) * ${BigInt(16).pow(12 - j)}"
+      }.mkString("(", " + ", ")")
+    }
     val init = s"""
       WITH e AS MATERIALIZED ($SqlEMOD),
       v AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      pos AS MATERIALIZED (SELECT src, dst,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+        COUNT(*) OVER (PARTITION BY src) AS deg FROM e),
       w0 AS MATERIALIZED (SELECT vid AS walk, 0 AS step, vid FROM v)"""
     val steps = (1 to length).map { i =>
       s"""
-      , w$i AS MATERIALIZED (SELECT walk, $i AS step, vid FROM (
-          SELECT w.walk, e.dst AS vid, ROW_NUMBER() OVER (PARTITION BY w.walk
-            ORDER BY md5(concat_ws('|', CAST($seed AS VARCHAR), CAST(w.walk AS VARCHAR),
-                                   CAST($i AS VARCHAR), CAST(e.dst AS VARCHAR))), e.dst) AS rn
-          FROM w${i - 1} w JOIN e ON w.vid = e.src) WHERE rn = 1)"""
+      , w$i AS MATERIALIZED (
+          SELECT w.walk, $i AS step, p.dst AS vid
+          FROM w${i - 1} w JOIN pos p
+            ON w.vid = p.src AND p.rn = ${hash48(s"'$i'")} % p.deg)"""
     }.mkString
     val union = (0 to length).map(i => s"SELECT walk, step, vid FROM w$i").mkString(" UNION ALL ")
     init + steps + s"\n      $union"

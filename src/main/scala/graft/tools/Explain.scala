@@ -66,6 +66,27 @@ object Explain {
     graft.alg.TriangleCount.triangles(graft.alg.TriangleCount.canonical(edges))
       .explain("formatted")
 
+    println("==== k-truss peel round: triangles -> canonical side support -> keep ====")
+    val canon = graft.alg.TriangleCount.canonical(edges).persist()
+    canon.count()
+    val tris = graft.alg.TriangleCount.triangles(canon)
+    val sides = tris.select(col("a").as("x"), col("b").as("y"))
+      .union(tris.select(col("a").as("x"), col("c").as("y")))
+      .union(tris.select(col("b").as("x"), col("c").as("y")))
+    val supp = sides
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+    canon.join(supp, Seq("a", "b"), "left")
+      .filter(coalesce(col("supp"), lit(0L)) >= 2).select("a", "b")
+      .explain("formatted")
+
+    println("==== random-walk step: hash-index join + element_at (no aggregation) ====")
+    // the argmin-over-neighbors formulation was rejected: min(struct) is not
+    // hash-aggregable, so it planned a SortAggregate over every frontier
+    // edge; the positional-index form below touches O(walks) rows per step
+    graft.alg.RandomWalk.walks(edges, Graph.vertices(edges).limit(500),
+      length = 1).filter(col("step") === 1).explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")

@@ -28,11 +28,12 @@ class RandomWalkSpec extends SparkSpec {
     assert(a != c) // a 20-vertex graph with branching: some walk must differ
   }
 
-  test("matches the driver-side md5-argmin oracle") {
+  test("matches the driver-side hash-index oracle") {
     val g = GraphGen.uniform(spark, 15, 80, seed = 5).cache()
     val adj = g.select("src", "dst").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
       .groupMap(_._1)(_._2)
+      .view.mapValues(_.sorted.toIndexedSeq).toMap
     val verts = adj.keySet ++ adj.values.flatten
     val seed = 42L
     val expected = scala.collection.mutable.Set[(Long, Int, Long)]()
@@ -44,7 +45,8 @@ class RandomWalkSpec extends SparkSpec {
       while (alive && step <= 6) {
         adj.get(cur) match {
           case Some(nbrs) =>
-            cur = nbrs.minBy(u => (md5hex(s"$seed|$w|$step|$u"), u))
+            val h = BigInt(md5hex(s"$seed|$w|$step").take(12), 16)
+            cur = nbrs((h % nbrs.size).toInt)
             expected += ((w, step, cur))
             step += 1
           case None => alive = false
@@ -52,5 +54,19 @@ class RandomWalkSpec extends SparkSpec {
       }
     }
     assert(rows(RandomWalk.walksFromAll(g, length = 6, seed = seed)) == expected.toSet)
+  }
+
+  test("hub chunking: the indexed neighbor is correct across chunk boundaries") {
+    // star hub with 10 spokes, chunkSize=4 -> 3 chunks; every walk from the
+    // hub must land on the hash-indexed spoke regardless of which chunk
+    // holds it
+    val hub = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val seed = 7L
+    val h = BigInt(md5hex(s"$seed|0|1").take(12), 16)
+    val want = (1 to 10).map(_.toLong).sorted.apply((h % 10).toInt)
+    val got = RandomWalk.walks(hub, Seq(0L).toDF("vid"), length = 1,
+      seed = seed, chunkSize = 4)
+      .filter("step = 1").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(want))
   }
 }
