@@ -81,11 +81,31 @@ object Explain {
       .explain("formatted")
 
     println("==== random-walk step: hash-index join + element_at (no aggregation) ====")
-    // the argmin-over-neighbors formulation was rejected: min(struct) is not
-    // hash-aggregable, so it planned a SortAggregate over every frontier
-    // edge; the positional-index form below touches O(walks) rows per step
-    graft.alg.RandomWalk.walks(edges, Graph.vertices(edges).limit(500),
-      length = 1).filter(col("step") === 1).explain("formatted")
+    // mirrors one RandomWalk.walks step (the real loop cuts each step so its
+    // result plan is just cut-RDD scans). The argmin-over-neighbors
+    // formulation was rejected: min(struct) is not hash-aggregable, so it
+    // planned a SortAggregate over every frontier edge; this positional-
+    // index form touches O(walks) rows per step
+    import org.apache.spark.sql.expressions.Window
+    val chunkSize = 4096
+    val posAdj = edges.select("src", "dst").distinct()
+      .select(col("src"), col("dst"),
+        (row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long") - 1L).as("rn"),
+        count(lit(1)).over(Window.partitionBy("src")).as("deg"))
+      .groupBy(col("src"), (col("rn") / chunkSize).cast("long").as("chunk"))
+      .agg(first("deg").as("deg"), sort_array(collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src")).persist()
+    posAdj.count()
+    val keyed = Graph.vertices(edges).limit(500)
+      .select(col("vid").as("walk"), col("vid"),
+        conv(substring(md5(concat_ws("|", lit(42L), col("vid"), lit(1))), 1, 12), 16, 10)
+          .cast("long").as("__h"))
+    keyed.hint("shuffle_hash").join(posAdj, keyed("vid") === posAdj("src"))
+      .withColumn("__i", pmod(col("__h"), col("deg")))
+      .filter(col("chunk") === (col("__i") / chunkSize).cast("long"))
+      .select(col("walk"), lit(1).as("step"),
+        element_at(col("nbrs"), (pmod(col("__i"), lit(chunkSize)) + 1).cast("int")).as("vid"))
+      .explain("formatted")
 
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
