@@ -95,6 +95,9 @@ object SparkEntry {
       import s.implicits._
       Seq(Graph.undirected(eMOD(s, dir)).count()).toDF("n_edges")
     }),
+    "q_assortativity" -> ((s, dir) =>
+      Graph.assortativity(eMOD(s, dir))
+        .select(round(col("assortativity"), 6).as("assortativity"))),
 
     // ---- algorithms (§2.3) ----
     "q_pagerank" -> ((s, dir) => {
@@ -224,6 +227,12 @@ object SparkEntry {
         .collect().map(_.getLong(0)).toSeq
       graft.alg.Traversals.harmonic(e, roots)
         .select(col("vid"), round(col("harmonic"), 6).as("harmonic"))
+    }),
+    "q_ecc_sample" -> ((s, dir) => {
+      val e = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.alg.Traversals.eccentricity(e, roots)
     }),
     "q_betweenness" -> ((s, dir) => {
       val e = Graph.undirected(eMOD(s, dir))
@@ -927,6 +936,22 @@ object SparkEntry {
     "q_undirected_count" -> s"""
       SELECT COUNT(*) AS n_edges FROM (
         SELECT src, dst FROM ($SqlEMOD) UNION SELECT dst AS src, src AS dst FROM ($SqlEMOD))""",
+    "q_assortativity" -> s"""
+      WITH und AS (SELECT src, dst FROM ($SqlEMOD) UNION SELECT dst AS src, src AS dst FROM ($SqlEMOD)),
+      dg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src)
+      SELECT ROUND(corr(da.deg, db.deg), 6) AS assortativity
+      FROM und JOIN dg da ON und.src = da.vid JOIN dg db ON und.dst = db.vid""",
+    "q_ecc_sample" -> s"""
+      WITH RECURSIVE e0 AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      roots AS (SELECT src AS r FROM (SELECT DISTINCT src FROM e0 ORDER BY src LIMIT 3)),
+      walk(root, v, d) AS (
+        SELECT r, r, 0 FROM roots
+        UNION
+        SELECT walk.root, und.dst, walk.d + 1 FROM walk JOIN und ON walk.v = und.src WHERE walk.d < 15
+      ),
+      lvl AS (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v)
+      SELECT root AS vid, CAST(MAX(d) AS INTEGER) AS eccentricity FROM lvl GROUP BY root""",
     "q_pagerank" -> pagerankSql,
     "q_ppr" -> pprSql(rounds = 5, nSeeds = 5),
     "q_hits" -> hitsSql(rounds = 5),

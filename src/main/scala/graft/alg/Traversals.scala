@@ -201,6 +201,15 @@ object Traversals {
    * the mean). Shares the one batched [[Centrality.multiSourceBfs]] job
    * across all roots like [[closeness]]. Returns (vid, harmonic) keyed by
    * root; roots reaching nothing get 0.0. */
+  /** Sampled eccentricity: per root, the max BFS distance reached —
+   * max over a landmark sample lower-bounds the diameter (the standard
+   * scalable diameter estimate). One batched [[Centrality.multiSourceBfs]]
+   * for all roots. Returns (vid, eccentricity). */
+  def eccentricity(edges: DataFrame, sources: Seq[Long]): DataFrame =
+    Centrality.multiSourceBfs(edges, sources)
+      .groupBy(col("root").as(Graph.VID))
+      .agg(max("dist").cast("int").as("eccentricity"))
+
   def harmonic(edges: DataFrame, sources: Seq[Long]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

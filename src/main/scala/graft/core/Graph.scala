@@ -144,6 +144,23 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
+   * degrees over the symmetrized edge set — positive on social-style
+   * graphs, negative on web/hub-and-spoke graphs. One distributed corr
+   * aggregate over und ⋈ deg ⋈ deg; symmetrization makes the edge-endpoint
+   * roles exchangeable, so corr(deg_src, deg_dst) IS Newman's r. Returns a
+   * one-row (assortativity) frame; null on degree-regular graphs (zero
+   * variance). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = outDegrees(und) // symmetrized: out-degree = undirected degree
+    val out = und
+      .join(deg.select(col(VID).as(SRC), col("deg").as("__da")), SRC)
+      .join(deg.select(col(VID).as(DST), col("deg").as("__db")), DST)
+      .agg(corr(col("__da"), col("__db")).as("assortativity"))
+    out
+  }
 }
 
 /**

@@ -153,4 +153,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(g.n_samples == 3 && g.sample_rate == 8000.0)
     assert(math.abs(g.rms - math.sqrt((0.0 + math.pow(127 / 128.0, 2) + 1.0) / 3)) < 1e-7)
   }
+
+  test("assortativity: star is maximally disassortative; matches driver-side Pearson") {
+    val star = graft.gen.GraphGen.star(spark, 6)
+    val r = Graph.assortativity(star).collect()(0).getDouble(0)
+    assert(math.abs(r - (-1.0)) < 1e-12)
+    // random graph vs driver-side Pearson over symmetrized endpoint degrees
+    val g2 = graft.gen.GraphGen.uniform(spark, 25, 140, seed = 9)
+    val es = Graph.undirected(g2).collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val deg = es.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val xs = es.map(e => deg(e._1)); val ys = es.map(e => deg(e._2))
+    def mean(a: Seq[Double]) = a.sum / a.size
+    val (mx, my) = (mean(xs), mean(ys))
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+    val expected = cov / (sx * sy)
+    val got = Graph.assortativity(g2).collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
+  }
 }

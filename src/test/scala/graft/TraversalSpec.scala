@@ -51,6 +51,12 @@ class TraversalSpec extends SparkSpec {
     assert(Traversals.stConnected(edges, 5L, 5L))
   }
 
+  test("eccentricity: chain ends vs middle; sampled max lower-bounds diameter") {
+    val chain = graft.gen.GraphGen.chain(spark, 5)
+    val ecc = toMap[Int](Traversals.eccentricity(chain, Seq(0L, 2L, 4L)))
+    assert(ecc(0L) == 4 && ecc(2L) == 2 && ecc(4L) == 4)
+  }
+
   test("harmonic centrality: exact closed forms on chain, complete, disconnected") {
     import spark.implicits._
     // chain 0-1-2-3-4 from root 0: 1 + 1/2 + 1/3 + 1/4
