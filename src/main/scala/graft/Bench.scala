@@ -57,8 +57,10 @@ object Bench {
   // entries, not totals. q_dedup_cluster is deliberately NOT benched: ~90%
   // of its cost is the PPJoin candidate stage already benched as
   // q_ngram_jaccard (the WCC closure over the pair graph adds ~5 s).
+  // q_katz / q_scc / q_adamic_adar joined in round 3 (new operators).
   private val Headline = Seq(
-    "q_pagerank", "q_ppr", "q_hits", "q_wcc", "q_triangles", "q_ktruss",
+    "q_pagerank", "q_ppr", "q_hits", "q_katz", "q_wcc", "q_scc",
+    "q_triangles", "q_adamic_adar", "q_ktruss",
     "q_label_prop_pruned_full", "q_bfs",
     "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",

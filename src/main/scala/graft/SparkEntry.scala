@@ -74,11 +74,29 @@ object SparkEntry {
         (coalesce(col("n"), lit(0L)) >= lit(6L)).as("recall_ok"))
   }
 
+  /** sparse mostly-acyclic digraph for SCC: forward edges (src < dst)
+   * everywhere, back edges only inside blocks of 100 vertices and only from
+   * high line numbers — mixed SCC structure: per-block non-trivial SCCs for
+   * the FW-BW sweep plus a trivial periphery for the Trim phase. */
+  private def eSCC(s: SparkSession, dir: String): DataFrame = {
+    val raw = lineitem(s, dir).select((col("l_orderkey") % 997).as("src"),
+      (col("l_partkey") % 997).as("dst"), col("l_linenumber"))
+    raw.filter(col("src") < col("dst") ||
+        (col("src") > col("dst") && col("l_linenumber") >= 6 &&
+          floor(col("src") / 100) === floor(col("dst") / 100)))
+      .select("src", "dst").distinct()
+  }
+
   private val SqlEPS =
     "SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem"
   private val SqlEMOD =
     "SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem " +
       "WHERE l_orderkey % 500 <> l_partkey % 500"
+  private val SqlESCC =
+    "SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem " +
+      "WHERE (l_orderkey % 997 < l_partkey % 997) " +
+      "OR (l_orderkey % 997 > l_partkey % 997 AND l_linenumber >= 6 " +
+      "AND FLOOR((l_orderkey % 997) / 100) = FLOOR((l_partkey % 997) / 100))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- graph structure ops (§2.1) ----
@@ -179,6 +197,19 @@ object SparkEntry {
       graft.core.MetricsLedger.record("q_label_prop_pruned_full", r.metrics.size)
       r.labels
     }),
+    "q_katz" -> ((s, dir) => {
+      val r = graft.alg.Katz.run(eMOD(s, dir), rounds = 5, alpha = 0.1)
+      graft.core.MetricsLedger.record("q_katz", r.metrics.size)
+      r.scores.select(col("vid"), round(col("katz"), 6).as("katz"))
+    }),
+    "q_scc" -> ((s, dir) =>
+      // FW-BW-Trim over the block-structured sparse digraph: trivial
+      // periphery exercises Trim, the per-block cycles the coloring+sweep
+      graft.alg.StronglyConnected.run(eSCC(s, dir))),
+    "q_adamic_adar" -> ((s, dir) =>
+      // link prediction on the bipartite part–supplier graph: top pairs =
+      // parts sharing suppliers / suppliers sharing parts
+      graft.alg.LinkPrediction.adamicAdarTopK(ePS(s, dir), k = 50)),
     "q_kcore" -> ((s, dir) =>
       graft.alg.Cores.kCore(eMOD(s, dir), k = 8)),
     "q_ktruss" -> ((s, dir) =>
@@ -388,6 +419,22 @@ object SparkEntry {
       , r$k AS (SELECT vid, deg, ${divide.replace("t$K", s"t$k")} AS stored FROM t$k)"""
     }.mkString
     init + rounds + "\n      SELECT vid, ROUND(stored, 6) AS rank FROM r5"
+  }
+
+  /** Katz centrality unrolled: x_k(v) = α·Σ_{u→v}(1 + x_{k-1}(u)), x_0 = 0 —
+   * same round-by-round CTE structure as [[pagerankSql]]. */
+  private def katzSql(rounds: Int, alpha: Double): String = {
+    val init = s"""
+      WITH e AS ($SqlEMOD),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      r0 AS (SELECT vid, 0.0 AS katz FROM v)"""
+    val body = (1 to rounds).map { k =>
+      s"""
+      , r$k AS (SELECT v.vid, $alpha * COALESCE(s.m, 0.0) AS katz FROM v LEFT JOIN (
+          SELECT e.dst AS vid, SUM(1.0 + p.katz) AS m FROM e JOIN r${k - 1} p ON e.src = p.vid GROUP BY e.dst
+        ) s ON v.vid = s.vid)"""
+    }.mkString
+    init + body + s"\n      SELECT vid, ROUND(katz, 6) AS katz FROM r$rounds"
   }
 
   /** Personalized PageRank unrolled: restart mass on the `nSeeds` smallest
@@ -955,6 +1002,30 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
     "q_ppr" -> pprSql(rounds = 5, nSeeds = 5),
     "q_hits" -> hitsSql(rounds = 5),
+    "q_katz" -> katzSql(rounds = 5, alpha = 0.1),
+    "q_scc" -> s"""
+      WITH RECURSIVE e AS MATERIALIZED ($SqlESCC),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+      ),
+      mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+      SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.w), v.vid)) AS scc
+      FROM v LEFT JOIN mutual m ON v.vid = m.v
+      GROUP BY v.vid""",
+    "q_adamic_adar" -> s"""
+      WITH e AS MATERIALIZED ($SqlEPS),
+      canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+      nbr AS MATERIALIZED (SELECT a AS w, b AS x FROM canon UNION ALL SELECT b AS w, a AS x FROM canon),
+      dg AS (SELECT w, COUNT(*) AS deg FROM nbr GROUP BY w),
+      wedge AS (SELECT n1.x AS a, n2.x AS b, n1.w AS w FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.x < n2.x),
+      nonedge AS (SELECT wd.a, wd.b, wd.w FROM wedge wd LEFT JOIN canon c ON wd.a = c.a AND wd.b = c.b WHERE c.a IS NULL),
+      scored AS (SELECT ne.a, ne.b, COUNT(*) AS common_n, SUM(1.0 / LN(dg.deg)) AS aa
+        FROM nonedge ne JOIN dg ON ne.w = dg.w GROUP BY ne.a, ne.b)
+      SELECT a, b, common_n, ROUND(aa, 6) AS adamic_adar FROM scored
+      ORDER BY ROUND(aa, 6) DESC, a, b LIMIT 50""",
     "q_apsp_sample" -> s"""
       WITH RECURSIVE e0 AS ($SqlEMOD),
       und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),

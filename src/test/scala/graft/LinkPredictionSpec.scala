@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.alg.LinkPrediction
+import graft.gen.GraphGen
+
+class LinkPredictionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+  test("4-cycle: the two diagonals score 2/ln(2)") {
+    // 0-1-2-3-0: non-adjacent pairs (0,2) and (1,3), each sharing two
+    // degree-2 neighbors.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val s = rowsOf(LinkPrediction.scores(edges)
+      .select(col("a"), col("b"), col("common_n"), col("adamic_adar")))
+    assert(s.keySet == Set((0L, 2L), (1L, 3L)))
+    val want = 2.0 / math.log(2.0)
+    s.values.foreach { case (cn, aa) =>
+      assert(cn == 2L); assert(math.abs(aa - want) < 1e-12)
+    }
+  }
+
+  test("path 0-1-2: single wedge, adjacent pairs excluded") {
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val s = rowsOf(LinkPrediction.scores(edges)
+      .select(col("a"), col("b"), col("common_n"), col("adamic_adar")))
+    assert(s.keySet == Set((0L, 2L)))
+    assert(s((0L, 2L))._1 == 1L)
+    assert(math.abs(s((0L, 2L))._2 - 1.0 / math.log(2.0)) < 1e-12)
+  }
+
+  test("maxPivotDegree drops hub-pivot wedges") {
+    // star: every leaf pair's only common neighbor is the degree-5 hub
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(LinkPrediction.scores(edges).count() == 10L)
+    assert(LinkPrediction.scores(edges, maxPivotDegree = 4).isEmpty)
+  }
+
+  test("matches a driver-side brute force on a skewed graph") {
+    val edges = GraphGen.rmat(spark, 6, 6, seed = 13)
+    val canon = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nbrs = canon.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val want = (for {
+      (a, na) <- nbrs; (b, nb) <- nbrs if a < b && !canon.contains((a, b))
+      common = na intersect nb if common.nonEmpty
+    } yield (a, b) -> (common.size.toLong,
+      common.toSeq.map(w => 1.0 / math.log(nbrs(w).size.toDouble)).sum)).toMap
+    val got = rowsOf(LinkPrediction.scores(edges)
+      .select(col("a"), col("b"), col("common_n"), col("adamic_adar")))
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (cn, aa)) =>
+      assert(got(k)._1 == cn, s"common_n of $k")
+      assert(math.abs(got(k)._2 - aa) < 1e-9, s"adamic_adar of $k")
+    }
+  }
+
+  test("topK orders by rounded score then pair") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
+    // only non-adjacent pair left is (1,3); sanity: topK returns it first
+    val top = LinkPrediction.adamicAdarTopK(edges, k = 5).collect()
+    assert(top.length == 1)
+    assert((top(0).getLong(0), top(0).getLong(1)) == (1L, 3L))
+  }
+}
