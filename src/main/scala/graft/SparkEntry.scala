@@ -217,6 +217,31 @@ object SparkEntry {
       // support 73 at sf0.01): real peeling happens (4 rounds to fixpoint)
       // and the truss stays non-empty — both regimes exercised
       graft.alg.Truss.kTruss(eMOD(s, dir), k = 50)),
+    "q_mis" -> ((s, dir) => {
+      // Luby MIS with deterministic multiplicative-hash priorities — the
+      // fixpoint equals sequential greedy over the priority order, so the
+      // oracle is the round-unrolled simulation (4 rounds probed; 6 gives
+      // margin, extra rounds are no-ops; too few mismatches LOUDLY)
+      val r = graft.alg.Independent.mis(eMOD(s, dir))
+      graft.core.MetricsLedger.record("q_mis", r.metrics.size)
+      r.members
+    }),
+    "q_coloring" -> ((s, dir) => {
+      // iterated-MIS greedy coloring on the bipartite part–supplier graph;
+      // innerRounds = 3 ≥ the probed per-phase fixpoint depth (2), so the
+      // capped run coincides with the fixpoint run (IndependentSpec) while
+      // being fixed-depth and hence DuckDB-unrollable
+      val r = graft.alg.Independent.coloring(ePS(s, dir), innerRounds = 3)
+      graft.core.MetricsLedger.record("q_coloring", r.metrics.size)
+      r.colors.select(col("vid"), col("color").cast("long").as("color"))
+    }),
+    "q_matching" -> ((s, dir) => {
+      // maximal matching by mutual-minimum rounds over a deterministic
+      // global edge order (20 rounds probed at sf0.01; oracle unrolls 24)
+      val r = graft.alg.Matching.run(eMOD(s, dir))
+      graft.core.MetricsLedger.record("q_matching", r.metrics.size)
+      r.mates
+    }),
     "q_maxflow" -> ((s, dir) => {
       import s.implicits._
       // small derived DAG: region->nation->supplier capacities from keys
@@ -788,6 +813,118 @@ object SparkEntry {
     init + peel + s"\n      SELECT a, b FROM e$rounds"
   }
 
+  /** One unrolled Luby MIS round: active keys scatter to neighbors, strict
+   * local minima join the set, their neighbors leave. Mirrors
+   * Independent.misRound exactly (same CASE order: frozen > selected >
+   * killed). `from` is the incoming state CTE (vid, k, st [, extra]),
+   * `to` the produced one; `extra` passes additional state columns through
+   * (the coloring variant's color column). */
+  private def misRoundSql(from: String, to: String, tag: String,
+      extra: String = ""): String = {
+    val pass = if (extra.isEmpty) "" else s", s.$extra"
+    s"""
+      , a$tag AS MATERIALIZED (SELECT vid, k FROM $from WHERE st = 0)
+      , nm$tag AS MATERIALIZED (SELECT e.dst AS vid, MIN(a.k) AS mn
+          FROM und e JOIN a$tag a ON e.src = a.vid GROUP BY e.dst)
+      , sel$tag AS MATERIALIZED (SELECT a.vid FROM a$tag a
+          LEFT JOIN nm$tag n ON a.vid = n.vid WHERE n.mn IS NULL OR a.k < n.mn)
+      , kl$tag AS MATERIALIZED (SELECT DISTINCT e.dst AS vid
+          FROM und e JOIN sel$tag s ON e.src = s.vid)
+      , $to AS MATERIALIZED (SELECT s.vid, s.k,
+          CASE WHEN s.st <> 0 THEN s.st
+               WHEN x.vid IS NOT NULL THEN 1
+               WHEN y.vid IS NOT NULL THEN 2
+               ELSE 0 END AS st$pass
+        FROM $from s LEFT JOIN sel$tag x ON s.vid = x.vid
+        LEFT JOIN kl$tag y ON s.vid = y.vid)"""
+  }
+
+  /** Luby MIS unrolled to `rounds` on undirected E_MOD. Priority key is the
+   * same plain-BIGINT multiplicative hash as Independent.priorityKey —
+   * identical arithmetic on both sides. Extra rounds past the fixpoint are
+   * no-ops; too few mismatches loudly (leftover st=0 rows). */
+  private def misSql(rounds: Int): String = {
+    val init = s"""
+      WITH und AS MATERIALIZED (SELECT src, dst FROM ($SqlEMOD)
+          UNION SELECT dst, src FROM ($SqlEMOD)),
+      s0 AS MATERIALIZED (SELECT vid,
+          ((vid * 2654435761 + 104729) % 1000000007) * 8589934592 + vid AS k,
+          0 AS st
+        FROM (SELECT DISTINCT src AS vid FROM und))"""
+    val steps = (1 to rounds).map(r =>
+      misRoundSql(s"s${r - 1}", s"s$r", s"_$r")).mkString
+    init + steps + s"\n      SELECT vid, st = 1 AS in_mis FROM s$rounds"
+  }
+
+  /** Iterated-MIS greedy coloring on undirected E_PS, unrolled to `phases`
+   * phases of exactly `innerRounds` MIS rounds each (matching the capped
+   * Spark variant: rounds after a phase's fixpoint are no-ops, so an
+   * unconditional cap equals phaseDone-whichever-first). Phase seal:
+   * members take the phase color and freeze (st=3), removed re-activate. */
+  private def coloringSql(phases: Int, innerRounds: Int): String = {
+    val init = s"""
+      WITH und AS MATERIALIZED (SELECT src, dst FROM ($SqlEPS)
+          UNION SELECT dst, src FROM ($SqlEPS)),
+      p0r0 AS MATERIALIZED (SELECT vid,
+          ((vid * 2654435761 + 104729) % 1000000007) * 8589934592 + vid AS k,
+          0 AS st, -1 AS color
+        FROM (SELECT DISTINCT src AS vid FROM und))"""
+    val body = (0 until phases).map { p =>
+      val rounds = (1 to innerRounds).map(r =>
+        misRoundSql(s"p${p}r${r - 1}", s"p${p}r$r", s"_p${p}_$r",
+          extra = "color")).mkString
+      rounds + s"""
+      , p${p + 1}r0 AS MATERIALIZED (SELECT vid, k,
+          CASE WHEN st = 1 OR st = 3 THEN 3 ELSE 0 END AS st,
+          CASE WHEN st = 1 THEN $p ELSE color END AS color
+        FROM p${p}r$innerRounds)"""
+    }.mkString
+    init + body +
+      s"\n      SELECT vid, CAST(color AS BIGINT) AS color FROM p${phases}r0"
+  }
+
+  /** Maximal matching by mutual-minimum rounds over E_MOD, unrolled to
+   * `rounds`. Edge key = Matching.edgeKey's plain-BIGINT hash. Per round:
+   * per-vertex min live key, mutual minima flip to matched, live edges
+   * touching a matched vertex drop out. Output = per-vertex mates view. */
+  private def matchingSql(rounds: Int): String = {
+    val init = s"""
+      WITH verts AS MATERIALIZED (SELECT DISTINCT vid FROM (
+          SELECT src AS vid FROM ($SqlEMOD) UNION ALL SELECT dst FROM ($SqlEMOD))),
+      m0 AS MATERIALIZED (SELECT a, b,
+          ((a * 2654435761 + b * 2097593 + 104729) % 2097143) * 4398046511104
+            + a * 2097152 + b AS pk,
+          FALSE AS m
+        FROM (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM ($SqlEMOD) WHERE src <> dst))"""
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""
+      , vm$r AS MATERIALIZED (SELECT vid, MIN(pk) AS mn FROM (
+          SELECT a AS vid, pk FROM m$p WHERE NOT m
+          UNION ALL SELECT b AS vid, pk FROM m$p WHERE NOT m) GROUP BY vid)
+      , sel$r AS MATERIALIZED (SELECT e.a, e.b FROM m$p e
+          JOIN vm$r va ON e.a = va.vid JOIN vm$r vb ON e.b = vb.vid
+          WHERE NOT e.m AND e.pk = va.mn AND e.pk = vb.mn)
+      , mv$r AS MATERIALIZED (SELECT DISTINCT vid FROM (
+          SELECT a AS vid FROM sel$r UNION ALL SELECT b FROM sel$r))
+      , m$r AS MATERIALIZED (
+          SELECT a, b, pk, m FROM m$p WHERE m
+          UNION ALL
+          SELECT e.a, e.b, e.pk, s.a IS NOT NULL AS m
+          FROM m$p e
+          LEFT JOIN sel$r s ON e.a = s.a AND e.b = s.b
+          LEFT JOIN mv$r ha ON e.a = ha.vid
+          LEFT JOIN mv$r hb ON e.b = hb.vid
+          WHERE NOT e.m AND (s.a IS NOT NULL OR (ha.vid IS NULL AND hb.vid IS NULL)))"""
+    }.mkString
+    init + steps + s"""
+      SELECT v.vid, COALESCE(ma.b, mb.a, -1) AS mate
+      FROM verts v
+      LEFT JOIN (SELECT a, b FROM m$rounds WHERE m) ma ON v.vid = ma.a
+      LEFT JOIN (SELECT a, b FROM m$rounds WHERE m) mb ON v.vid = mb.b"""
+  }
+
   /** Near-dup clustering oracle: the q_ngram_jaccard pair CTEs (threshold
    * 0.5), then min-label transitive closure over the pair graph (recursive
    * reach, mirror of [[wccSql]]) and a left join back to the full corpus —
@@ -1077,6 +1214,9 @@ object SparkEntry {
       "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
     "q_kcore" -> kcoreSql(k = 8, rounds = 12),
     "q_ktruss" -> ktrussSql(k = 50, rounds = 6),
+    "q_mis" -> misSql(rounds = 6),
+    "q_coloring" -> coloringSql(phases = 3, innerRounds = 3),
+    "q_matching" -> matchingSql(rounds = 24),
     "q_random_walk" -> randomWalkSql(length = 8, seed = 42L),
     "q_event_windows" -> """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
