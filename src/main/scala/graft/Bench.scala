@@ -57,12 +57,18 @@ object Bench {
   // entries, not totals. q_dedup_cluster is deliberately NOT benched: ~90%
   // of its cost is the PPJoin candidate stage already benched as
   // q_ngram_jaccard (the WCC closure over the pair graph adds ~5 s).
-  // q_katz / q_scc / q_adamic_adar joined in round 3 (new operators).
+  // q_katz / q_scc / q_adamic_adar joined in round 3 (new operators), as
+  // did q_mis / q_matching / q_msf (the Luby/Boruvka BSP kernel family) and
+  // q_link_predict (the full overlap-measure wedge pass). q_coloring and
+  // q_vertex_cover are deliberately NOT benched: coloring is ~#colors ×
+  // q_mis by construction and vertex cover is q_matching plus one
+  // projection — benching them would re-measure the same kernels.
   private val Headline = Seq(
     "q_pagerank", "q_ppr", "q_hits", "q_katz", "q_wcc", "q_scc",
-    "q_triangles", "q_adamic_adar", "q_ktruss",
+    "q_triangles", "q_adamic_adar", "q_link_predict", "q_ktruss",
     "q_label_prop_pruned_full", "q_bfs",
     "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk",
+    "q_mis", "q_matching", "q_msf",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality",
     "q_event_windows", "q_sessionize", "q_ngram_jaccard")

@@ -242,6 +242,27 @@ object SparkEntry {
       graft.core.MetricsLedger.record("q_matching", r.metrics.size)
       r.mates
     }),
+    "q_vertex_cover" -> ((s, dir) =>
+      // 2-approx minimum vertex cover = matched endpoints of the maximal
+      // matching — same rounds as q_matching, different final view
+      graft.alg.Matching.vertexCover(eMOD(s, dir))),
+    "q_link_predict" -> ((s, dir) =>
+      // the full neighborhood-overlap measure family (common/Jaccard/AA/RA/
+      // preferential attachment) in ONE wedge-join pass; top-50 by Jaccard
+      graft.alg.LinkPrediction.overlapTopK(ePS(s, dir), k = 50)),
+    "q_msf" -> ((s, dir) => {
+      // Boruvka minimum spanning forest over E_MOD with deterministic
+      // integer weights; the strict (w, a, b) edge order makes the MSF
+      // unique, so the oracle replays the phases (4 probed; 6 unrolled —
+      // extra phases are no-ops, too few mismatches loudly)
+      val a = least(col("src"), col("dst"))
+      val b = greatest(col("src"), col("dst"))
+      val e = eMOD(s, dir).select(col("src"), col("dst"),
+        ((a * 7 + b * 13) % 1000).as("weight"))
+      val r = graft.alg.Msf.run(e)
+      graft.core.MetricsLedger.record("q_msf", r.metrics.size)
+      r.forest.select(col("a"), col("b"), col("w"))
+    }),
     "q_maxflow" -> ((s, dir) => {
       import s.implicits._
       // small derived DAG: region->nation->supplier capacities from keys
@@ -925,6 +946,63 @@ object SparkEntry {
       LEFT JOIN (SELECT a, b FROM m$rounds WHERE m) mb ON v.vid = mb.b"""
   }
 
+  /** 2-approx vertex cover oracle: the [[matchingSql]] round chain with a
+   * matched-endpoints final view instead of the mates view. */
+  private def vertexCoverSql(rounds: Int): String = {
+    val full = matchingSql(rounds)
+    val base = full.substring(0, full.lastIndexOf("SELECT v.vid"))
+    base + s"""SELECT v.vid, (ma.a IS NOT NULL OR mb.b IS NOT NULL) AS in_cover
+      FROM verts v
+      LEFT JOIN (SELECT a FROM m$rounds WHERE m) ma ON v.vid = ma.a
+      LEFT JOIN (SELECT b FROM m$rounds WHERE m) mb ON v.vid = mb.b"""
+  }
+
+  /** Boruvka MSF unrolled to `phases` on weighted E_MOD (weight =
+   * (7a+13b)%1000, key = Msf.edgeKey's packed BIGINT — identical arithmetic
+   * both sides). Per phase: per-component min live key, those edges join
+   * the forest, touched components contract to the min label of their
+   * selected-edge component (recursive min-reach; the label CHOICE differs
+   * from the engine's pointer-doubling roots but the PARTITION — and hence
+   * every later phase's selection and the forest — is identical). Extra
+   * phases past the fixpoint are no-ops; too few drops forest edges and
+   * mismatches loudly. */
+  private def msfSql(phases: Int): String = {
+    val init = s"""
+      WITH RECURSIVE e AS MATERIALIZED (
+        SELECT a, b, w, w * 4398046511104 + a * 2097152 + b AS key FROM (
+          SELECT a, b, MIN(w) AS w FROM (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   (LEAST(src, dst) * 7 + GREATEST(src, dst) * 13) % 1000 AS w
+            FROM ($SqlEMOD)) GROUP BY a, b)),
+      v0 AS MATERIALIZED (SELECT vid, vid AS comp FROM (
+          SELECT DISTINCT a AS vid FROM e UNION SELECT b FROM e))"""
+    val steps = (1 to phases).map { p =>
+      val q = p - 1
+      s"""
+      , live$p AS MATERIALIZED (
+          SELECT e.a, e.b, e.w, e.key, va.comp AS ca, vb.comp AS cb
+          FROM e JOIN v$q va ON e.a = va.vid JOIN v$q vb ON e.b = vb.vid
+          WHERE va.comp <> vb.comp)
+      , cmin$p AS MATERIALIZED (SELECT comp, MIN(key) AS mk FROM (
+          SELECT ca AS comp, key FROM live$p
+          UNION ALL SELECT cb, key FROM live$p) GROUP BY comp)
+      , sel$p AS MATERIALIZED (
+          SELECT DISTINCT l.a, l.b, l.w, l.ca, l.cb FROM live$p l
+          JOIN cmin$p m ON l.key = m.mk AND (l.ca = m.comp OR l.cb = m.comp))
+      , cg$p AS (SELECT ca AS c, cb AS d FROM sel$p
+          UNION SELECT cb, ca FROM sel$p)
+      , reach$p(c, d) AS (SELECT c, d FROM cg$p
+          UNION SELECT r.c, g.d FROM reach$p r JOIN cg$p g ON r.d = g.c)
+      , lab$p AS MATERIALIZED (SELECT c, LEAST(c, MIN(d)) AS root
+          FROM reach$p GROUP BY c)
+      , v$p AS MATERIALIZED (SELECT v.vid, COALESCE(l.root, v.comp) AS comp
+          FROM v$q v LEFT JOIN lab$p l ON v.comp = l.c)"""
+    }.mkString
+    val forest = (1 to phases).map(p => s"SELECT a, b, w FROM sel$p")
+      .mkString("\n      UNION ALL ")
+    init + steps + s"\n      SELECT a, b, CAST(w AS BIGINT) AS w FROM ($forest)"
+  }
+
   /** Near-dup clustering oracle: the q_ngram_jaccard pair CTEs (threshold
    * 0.5), then min-label transitive closure over the pair graph (recursive
    * reach, mirror of [[wccSql]]) and a left join back to the full corpus —
@@ -1217,6 +1295,25 @@ object SparkEntry {
     "q_mis" -> misSql(rounds = 6),
     "q_coloring" -> coloringSql(phases = 3, innerRounds = 3),
     "q_matching" -> matchingSql(rounds = 24),
+    "q_vertex_cover" -> vertexCoverSql(rounds = 24),
+    "q_msf" -> msfSql(phases = 6),
+    "q_link_predict" -> s"""
+      WITH e AS MATERIALIZED ($SqlEPS),
+      canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+      nbr AS MATERIALIZED (SELECT a AS w, b AS x FROM canon UNION ALL SELECT b AS w, a AS x FROM canon),
+      dg AS (SELECT w, COUNT(*) AS deg FROM nbr GROUP BY w),
+      wedge AS (SELECT n1.x AS a, n2.x AS b, n1.w AS w FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.x < n2.x),
+      nonedge AS (SELECT wd.a, wd.b, wd.w FROM wedge wd LEFT JOIN canon c ON wd.a = c.a AND wd.b = c.b WHERE c.a IS NULL),
+      scored AS (SELECT ne.a, ne.b, COUNT(*) AS common_n,
+          SUM(1.0 / LN(dg.deg)) AS aa, SUM(1.0 / dg.deg) AS ra
+        FROM nonedge ne JOIN dg ON ne.w = dg.w GROUP BY ne.a, ne.b)
+      SELECT s.a, s.b, s.common_n,
+        ROUND(s.common_n * 1.0 / (da.deg + db.deg - s.common_n), 6) AS jaccard,
+        ROUND(s.aa, 6) AS adamic_adar, ROUND(s.ra, 6) AS resource_alloc,
+        da.deg * db.deg AS pref_attach
+      FROM scored s JOIN dg da ON s.a = da.w JOIN dg db ON s.b = db.w
+      ORDER BY ROUND(s.common_n * 1.0 / (da.deg + db.deg - s.common_n), 6) DESC, s.a, s.b
+      LIMIT 50""",
     "q_random_walk" -> randomWalkSql(length = 8, seed = 42L),
     "q_event_windows" -> """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,

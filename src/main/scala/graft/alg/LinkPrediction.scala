@@ -45,6 +45,47 @@ object LinkPrediction {
       .limit(k)
   }
 
+  /** Top-`k` non-adjacent pairs by Jaccard overlap, carrying the whole
+   * measure family — (a, b, common_n, jaccard, adamic_adar, resource_alloc,
+   * pref_attach), floats rounded to 6 digits, ties by (a, b):
+   *
+   *   jaccard(a,b)        = common_n / (deg(a) + deg(b) - common_n)
+   *   resource_alloc(a,b) = Σ_{w ∈ N(a)∩N(b)} 1 / deg(w)
+   *   pref_attach(a,b)    = deg(a) · deg(b)
+   *
+   * Same single wedge-join plan as [[scores]] — the extra measures are two
+   * more map-side-combined aggregates plus two degree lookups per surviving
+   * pair, not extra 2-hop enumerations. */
+  def overlapTopK(edges: DataFrame, k: Int,
+                  maxPivotDegree: Int = Int.MaxValue): DataFrame = {
+    val canon = TriangleCount.canonical(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nbr = canon.select(col("a").as("w"), col("b").as("x"))
+      .unionByName(canon.select(col("b").as("w"), col("a").as("x")))
+    val deg = nbr.groupBy("w").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pivots = nbr.join(deg.filter(col("deg") <= maxPivotDegree), Seq("w"))
+    val wedges = pivots.select(col("w"), col("x"), col("deg"))
+      .join(pivots.select(col("w"), col("x").as("y")), Seq("w"))
+      .filter(col("x") < col("y"))
+    val agg = wedges
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("common_n"),
+        sum(lit(1.0) / log(col("deg"))).as("aa"),
+        sum(lit(1.0) / col("deg")).as("ra"))
+      .join(canon, Seq("a", "b"), "left_anti")
+    agg
+      .join(deg.select(col("w").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("w").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(col("a"), col("b"), col("common_n"),
+        round(col("common_n") / (col("__da") + col("__db") - col("common_n")), 6)
+          .as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"),
+        round(col("ra"), 6).as("resource_alloc"),
+        (col("__da") * col("__db")).as("pref_attach"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** All scored non-adjacent pairs (a < b, ≥1 common neighbor):
    * (a, b, common_n, adamic_adar) — unrounded. */
   def scores(edges: DataFrame, maxPivotDegree: Int = Int.MaxValue): DataFrame = {

@@ -99,13 +99,27 @@ object Matching {
     }
 
     val matching = outcome.state.filter(col("m")).select(col("a"), col("b"))
-    val mates = verts
+    Result(matching, matesView(verts, matching), outcome.metrics)
+  }
+
+  /**
+   * 2-approximate minimum vertex cover: the matched endpoints of the
+   * maximal matching. Every edge has a matched endpoint (else the matching
+   * was not maximal), and any cover must pick ≥1 endpoint per matched edge,
+   * so |cover| = 2·|M| ≤ 2·OPT — the textbook guarantee, at the cost of one
+   * extra join over [[run]]. Returns (vid, in_cover) for every vertex.
+   */
+  def vertexCover(edges: DataFrame, maxSupersteps: Int = 100): DataFrame =
+    run(edges, maxSupersteps).mates
+      .select(col(Graph.VID), (col("mate") =!= lit(-1L)).as("in_cover"))
+
+  private def matesView(verts: DataFrame, matching: DataFrame): DataFrame = {
+    verts
       .join(matching.select(col("a").as(Graph.VID), col("b").as("__mate1")),
         Seq(Graph.VID), "left")
       .join(matching.select(col("b").as(Graph.VID), col("a").as("__mate2")),
         Seq(Graph.VID), "left")
       .select(col(Graph.VID),
         coalesce(col("__mate1"), col("__mate2"), lit(-1L)).as("mate"))
-    Result(matching, mates, outcome.metrics)
   }
 }

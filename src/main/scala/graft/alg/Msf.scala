@@ -1,0 +1,131 @@
+package graft.alg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{Graph, Lineage, StepResult, Superstep}
+
+/**
+ * Minimum spanning forest by parallel Boruvka phases — an extension beyond
+ * the reference inventory (Totem has no MST kernel; the closest published
+ * GPU relative is its SSSP/BFS scatter machinery, whose superstep shape
+ * this reuses: per-phase scatter + min-aggregate, cf.
+ * `/root/reference/src/alg/totem_sssp_hybrid.cu:109-156`).
+ *
+ * Each phase: every component finds its minimum-key outgoing edge (the
+ * classic Boruvka step), those edges join the forest, and the touched
+ * components contract. With a STRICT total order on edges — integer weight
+ * packed with the canonical endpoint pair into one BIGINT — the forest is
+ * the unique MSF (Kruskal's result), independent of parallel schedule, so
+ * a DuckDB oracle can replay the phases exactly.
+ *
+ * Contraction runs pointer doubling on the component-level functional
+ * graph (each component points at the partner of its own min edge; mutual
+ * pairs anchor at the smaller id): O(log chain-depth) tiny self-joins on a
+ * frame whose size at phase p is at most V/2^(p-1) — components at least
+ * halve per phase, so phases are O(log V) and late phases are near-free.
+ *
+ * Scale shape: the per-phase work is two hash joins of the static edge
+ * table against the vertex-label frame plus one map-side-combined min
+ * aggregate — the PageRank/WCC plan family; the pointer-doubling loop
+ * never touches the edge table.
+ */
+object Msf {
+
+  final case class Result(forest: DataFrame, metrics: Seq[graft.core.StepMetrics])
+
+  /** Strict global edge order: weight first, canonical endpoints as the
+   * tiebreak, packed into one BIGINT. Domain: 0 <= w < 2^20 and
+   * vid < 2^21 (beyond that, widen to a (w, a, b) lexicographic min). */
+  private[graft] def edgeKey(w: Column, a: Column, b: Column): Column =
+    w * lit(4398046511104L) + a * lit(2097152L) + b
+
+  /**
+   * `edges` must carry (src, dst, weight) with non-negative integer
+   * weights; direction, duplicates, and self-loops are canonicalized away
+   * (parallel edges keep the minimum weight). Returns the MSF edge set
+   * (a, b, w) with a < b.
+   */
+  def run(edges: DataFrame,
+          maxSupersteps: Int = 64,
+          verbose: Boolean = false): Result = {
+    val ce = edges.filter(col(Graph.SRC) =!= col(Graph.DST))
+      .select(least(col(Graph.SRC), col(Graph.DST)).as("a"),
+        greatest(col(Graph.SRC), col(Graph.DST)).as("b"), col("weight").as("w"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .select(col("a"), col("b"), col("w"),
+        edgeKey(col("w"), col("a"), col("b")).as("key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val init = ce.select(col("a").as(Graph.VID))
+      .union(ce.select(col("b").as(Graph.VID))).distinct()
+      .select(col(Graph.VID), col(Graph.VID).as("comp"))
+
+    var forest: DataFrame = Lineage.cut(ce.select("a", "b", "w").limit(0))
+
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (lab, _) =>
+      val live = ce
+        .join(lab.select(col(Graph.VID).as("a"), col("comp").as("ca"))
+          .hint("shuffle_hash"), Seq("a"))
+        .join(lab.select(col(Graph.VID).as("b"), col("comp").as("cb"))
+          .hint("shuffle_hash"), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val liveCount = live.count()
+      if (liveCount == 0L) {
+        // fixpoint probe: the phase that merged the last pair already ran —
+        // this is the WCC-style +1 sentinel step (zero traversed edges)
+        live.unpersist(blocking = false)
+        StepResult(lab, 0L, converged = true)
+      } else {
+        // per-component minimum live edge key, and via key-equality join
+        // back, the partner component across that edge
+        val endp = live.select(col("ca").as("comp"), col("key"), col("cb").as("partner"))
+          .unionByName(live.select(col("cb").as("comp"), col("key"), col("ca").as("partner")))
+        val cmin = endp.groupBy("comp").agg(min("key").as("mk"))
+        val own = endp.join(cmin.hint("shuffle_hash"), Seq("comp"))
+          .filter(col("key") === col("mk"))
+          .select(col("comp").as("c"), col("partner").as("p"), col("key"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // forest gains every edge that is some component's minimum
+        val sel = live.join(own.select("key").distinct().hint("shuffle_hash"), Seq("key"))
+          .select(col("a"), col("b"), col("w"))
+        val grown = Lineage.cut(forest.unionByName(sel))
+        Lineage.release(forest)
+        forest = grown
+
+        // contraction: functional graph c -> p; a mutual pair (the globally
+        // minimal edge of its component, always selected by both sides)
+        // anchors at its smaller id, then pointer doubling to the fixpoint
+        var par = Lineage.cut(own
+          .join(own.select(col("c").as("__p2"), col("p").as("gp")),
+            col("p") === col("__p2"))
+          .select(col("c"),
+            when(col("gp") === col("c") && col("c") < col("p"), col("c"))
+              .otherwise(col("p")).as("p")))
+        var changed = 1L
+        while (changed > 0L) {
+          val next = Lineage.cut(par
+            .join(par.select(col("c").as("__p2"), col("p").as("__pp"))
+              .hint("shuffle_hash"), col("p") === col("__p2"))
+            .select(col("c"), col("__pp").as("p"),
+              (col("p") =!= col("__pp")).as("__ch")))
+          changed = next.filter(col("__ch")).count()
+          Lineage.release(par)
+          par = next
+        }
+        val roots = par.select(col("c").as("comp"), col("p").as("root"))
+        val relabeled = Lineage.cut(lab
+          .join(roots.hint("shuffle_hash"), Seq("comp"), "left")
+          .select(col(Graph.VID), coalesce(col("root"), col("comp")).as("comp")))
+        Lineage.release(par)
+        own.unpersist(blocking = false)
+        live.unpersist(blocking = false)
+        StepResult(relabeled, liveCount, converged = false)
+      }
+    }
+    ce.unpersist(blocking = false)
+    Result(forest, outcome.metrics)
+  }
+}

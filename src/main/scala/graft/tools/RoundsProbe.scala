@@ -46,6 +46,12 @@ object RoundsProbe {
     println(s"PROBE matching(ePS) supersteps=${mPs.metrics.size} " +
       s"pairs=${mPs.matching.count()}")
 
+    val aC = least(col("src"), col("dst")); val bC = greatest(col("src"), col("dst"))
+    val wMod = eMOD.select(col("src"), col("dst"), ((aC * 7 + bC * 13) % 1000).as("weight"))
+    val msf = graft.alg.Msf.run(wMod)
+    println(s"PROBE msf(eMOD) phases=${msf.metrics.size} " +
+      s"forest=${msf.forest.count()}")
+
     spark.stop()
   }
 }

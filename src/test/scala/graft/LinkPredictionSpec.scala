@@ -60,6 +60,47 @@ class LinkPredictionSpec extends SparkSpec {
     }
   }
 
+  test("overlapTopK: whole measure family matches closed forms on a 4-cycle") {
+    // 0-1-2-3-0: pairs (0,2),(1,3) — common=2, all degrees 2 →
+    // jaccard = 2/(2+2-2) = 1, ra = 2/2 = 1, pa = 4, aa = 2/ln 2
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val rows = LinkPrediction.overlapTopK(edges, k = 10).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 2L), (1L, 3L)))
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2L)                                   // common_n
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)                // jaccard
+      assert(math.abs(r.getDouble(4) - 2.0 / math.log(2.0)) < 1e-5) // adamic_adar
+      assert(math.abs(r.getDouble(5) - 1.0) < 1e-9)                // resource_alloc
+      assert(r.getLong(6) == 4L)                                   // pref_attach
+    }
+  }
+
+  test("overlapTopK matches driver-side brute force on a skewed graph") {
+    val edges = GraphGen.rmat(spark, 6, 6, seed = 19)
+    val canon = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nbrs = canon.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val want = (for {
+      (a, na) <- nbrs; (b, nb) <- nbrs if a < b && !canon.contains((a, b))
+      common = na intersect nb if common.nonEmpty
+    } yield (a, b) -> (common.size.toLong,
+      common.size.toDouble / (na.size + nb.size - common.size),
+      common.toSeq.map(w => 1.0 / nbrs(w).size).sum,
+      na.size.toLong * nb.size)).toMap
+    val got = LinkPrediction.overlapTopK(edges, k = want.size + 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(5), r.getLong(6))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (cn, jac, ra, pa)) =>
+      assert(got(k)._1 == cn, s"common_n of $k")
+      assert(math.abs(got(k)._2 - jac) < 1e-5, s"jaccard of $k")
+      assert(math.abs(got(k)._3 - ra) < 1e-5, s"resource_alloc of $k")
+      assert(got(k)._4 == pa, s"pref_attach of $k")
+    }
+  }
+
   test("topK orders by rounded score then pair") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
     // only non-adjacent pair left is (1,3); sanity: topK returns it first

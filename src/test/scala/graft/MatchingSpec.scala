@@ -75,4 +75,15 @@ class MatchingSpec extends SparkSpec {
     val df = GraphGen.uniform(spark, 32, 200, seed = 29)
     assert(pairs(Matching.run(df).matching) == pairs(Matching.run(df).matching))
   }
+
+  test("vertex cover: covers every edge, size = 2·|matching|") {
+    val df = GraphGen.uniform(spark, 64, 400, seed = 31)
+    val cover = Matching.vertexCover(df).collect()
+      .filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val m = pairs(Matching.run(df).matching)
+    assert(cover.size == 2 * m.size)
+    val edges = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => e._1 != e._2)
+    assert(edges.forall(e => cover(e._1) || cover(e._2)))
+  }
 }
