@@ -57,15 +57,19 @@ object Bench {
   // entries, not totals. q_dedup_cluster is deliberately NOT benched: ~90%
   // of its cost is the PPJoin candidate stage already benched as
   // q_ngram_jaccard (the WCC closure over the pair graph adds ~5 s).
-  // q_katz / q_scc / q_adamic_adar joined in round 3 (new operators), as
-  // did q_mis / q_matching / q_msf (the Luby/Boruvka BSP kernel family) and
-  // q_link_predict (the full overlap-measure wedge pass). q_coloring and
-  // q_vertex_cover are deliberately NOT benched: coloring is ~#colors ×
-  // q_mis by construction and vertex cover is q_matching plus one
-  // projection — benching them would re-measure the same kernels.
+  // q_katz / q_scc joined in round 3 (new operators), as did q_mis /
+  // q_matching / q_msf (the Luby/Boruvka BSP kernel family) and
+  // q_link_predict (the overlap-measure wedge pass at the production
+  // maxPivotDegree=100 hub cap). q_adamic_adar (the EXACT uncapped wedge
+  // pass) is deliberately NOT benched: on the sf0.1 bipartite graph its
+  // supplier pivots fan out O(deg²) ≈ 250M wedge rows (measured ~257 s) —
+  // the same inherent-cost exclusion as uncapped q_label_prop; the capped
+  // q_link_predict is its scale path and shares the plan shape. q_coloring
+  // and q_vertex_cover are also not benched: coloring is ~#colors × q_mis
+  // by construction and vertex cover is q_matching plus one projection.
   private val Headline = Seq(
     "q_pagerank", "q_ppr", "q_hits", "q_katz", "q_wcc", "q_scc",
-    "q_triangles", "q_adamic_adar", "q_link_predict", "q_ktruss",
+    "q_triangles", "q_link_predict", "q_ktruss",
     "q_label_prop_pruned_full", "q_bfs",
     "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk",
     "q_mis", "q_matching", "q_msf",

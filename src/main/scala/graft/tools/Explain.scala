@@ -107,6 +107,36 @@ object Explain {
         element_at(col("nbrs"), (pmod(col("__i"), lit(chunkSize)) + 1).cast("int")).as("vid"))
       .explain("formatted")
 
+    println("==== Boruvka MSF phase: edges ⋈ labels ×2 -> per-comp min-key ====")
+    // mirrors one Msf.run phase's heavy half (the part that touches the
+    // edge table); the contraction loop below never does
+    val aC = least(col("src"), col("dst")); val bC = greatest(col("src"), col("dst"))
+    val we = edges.filter(col("src") =!= col("dst"))
+      .select(aC.as("a"), bC.as("b"), ((aC * 7 + bC * 13) % 1000).as("w"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .select(col("a"), col("b"),
+        (col("w") * 4398046511104L + col("a") * 2097152L + col("b")).as("key"))
+      .persist()
+    we.count()
+    val lab = Graph.vertices(edges).select(col("vid"), col("vid").as("comp")).persist()
+    lab.count()
+    val live = we
+      .join(lab.select(col("vid").as("a"), col("comp").as("ca")).hint("shuffle_hash"), Seq("a"))
+      .join(lab.select(col("vid").as("b"), col("comp").as("cb")).hint("shuffle_hash"), Seq("b"))
+      .filter(col("ca") =!= col("cb"))
+    live.select(col("ca").as("comp"), col("key"))
+      .unionByName(live.select(col("cb").as("comp"), col("key")))
+      .groupBy("comp").agg(min("key").as("mk"))
+      .explain("formatted")
+
+    println("==== Boruvka MSF contraction: pointer-doubling self-join (comp-level, no edges) ====")
+    val par = lab.select(col("comp").as("c"), (col("comp") % 97).as("p")).persist()
+    par.count()
+    par.join(par.select(col("c").as("__p2"), col("p").as("__pp")).hint("shuffle_hash"),
+        col("p") === col("__p2"))
+      .select(col("c"), col("__pp").as("p"), (col("p") =!= col("__pp")).as("__ch"))
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
