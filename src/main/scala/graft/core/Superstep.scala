@@ -67,7 +67,7 @@ object Superstep {
         latestComplete(dir) match {
           case Some((ss, path)) =>
             metrics ++= readLedger(dir, ss)
-            (spark.read.parquet(path), ss + 1)
+            (graft.sources.TableIO.read(spark, path), ss + 1)
           case None => (materialize(initial), 1)
         }
       case _ => (materialize(initial), 1)
@@ -122,9 +122,9 @@ object Superstep {
   private def writeCheckpoint(df: DataFrame, cfg: Config, superstep: Int): (DataFrame, Long, Map[Int, Long]) = {
     val dir = cfg.checkpointDir.get
     val path = s"$dir/superstep=$superstep/data"
-    df.write.mode("overwrite").parquet(path)
+    graft.sources.TableIO.write(df, path)
     val spark = df.sparkSession
-    val re = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    val re = graft.sources.TableIO.read(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
     val perPart: Map[Int, Long] =
       if (cfg.partitionLineage)
         re.groupBy(spark_partition_id().as("pid")).count()

@@ -35,6 +35,30 @@ class SuperstepSpec extends SparkSpec {
     assert(out.state.agg(min("x")).collect()(0).getInt(0) == 3)
   }
 
+  test("TableIO format seam: checkpoints honor graft.table.format") {
+    val dir = tmpDir("fmt")
+    spark.conf.set(graft.sources.TableIO.FormatKey, "json")
+    try {
+      val init = spark.range(4).select(col("id").as("vid"), lit(0L).as("x"))
+      val out = Superstep.run(init,
+        Superstep.Config(maxSupersteps = 2, checkpointDir = Some(dir))) { (state, ss) =>
+        StepResult(state.withColumn("x", col("x") + 1L), edgesTraversed = 4L, converged = ss == 2)
+      }
+      assert(out.state.agg(min("x")).collect()(0).getLong(0) == 2L)
+      // the checkpoint table really is json, not parquet
+      val files = Files.list(Paths.get(s"$dir/superstep=2/data")).toArray.map(_.toString)
+      assert(files.exists(_.endsWith(".json")), s"no json part files in ${files.mkString(",")}")
+      assert(!files.exists(_.endsWith(".parquet")), "parquet written despite json format conf")
+      // resume reads back through the same seam
+      val resumed = Superstep.run(
+        spark.range(4).select(col("id").as("vid"), lit(99L).as("x")),
+        Superstep.Config(maxSupersteps = 3, checkpointDir = Some(dir), resume = true)) { (state, ss) =>
+        StepResult(state.withColumn("x", col("x") + 1L), edgesTraversed = 4L, converged = ss == 3)
+      }
+      assert(resumed.state.agg(min("x")).collect()(0).getLong(0) == 3L)
+    } finally spark.conf.unset(graft.sources.TableIO.FormatKey)
+  }
+
   test("resume continues from the last complete superstep") {
     val dir = tmpDir("resume")
     // run 2 of 5 supersteps, "crash"
