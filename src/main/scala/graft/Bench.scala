@@ -16,7 +16,12 @@ import org.apache.spark.sql.SparkSession
  * reported as best-of-N plus the full run distribution — a sequential
  * single-shot design lets a throttle phase masquerade as an engine result
  * (observed round 2: the same code measured 58.6 s quiet vs 198.8 s
- * throttled for the headline set).
+ * throttled for the headline set). The scaling legs additionally bracket
+ * every run with a single-threaded host-speed probe ([[hostProbeMs]]) and
+ * compute the efficiency of record from probe-verified full-speed runs
+ * only — interleaving alone is not enough when one phase outlasts a whole
+ * leg (observed round 3: all three ~100 s 2-core runs throttled, recording
+ * a nonsense superlinear 1.203).
  *
  * Two parts:
  *  1. headline queries from SparkEntry on SPARK_GRAFT_SF_DIR: 3 interleaved
@@ -125,34 +130,89 @@ object Bench {
     (trv / algExecSec / 1e9, algExecSec)
   }
 
-  /** One measured run in a fresh session at `cores`; shuffle partitions
-   * fixed at the data-sized count and AQE off across all parallelism levels
-   * (see [[session]]). Sessions share the JVM, so JIT/page-cache warmth
-   * carries across; the caller does one throwaway warm-up run first. */
-  private def oneRun(cores: Int, path: String): (Double, Double) = {
+  /** Single-threaded host-speed probe: a fixed xorshift64 loop, ~0.5 s at
+   * full speed, independent of Spark. The sandbox hypervisor throttles the
+   * whole VM in multi-minute phases (observed 2-3× wall-time inflation);
+   * probing immediately before AND after each scaling run records
+   * engine-independent evidence of which runs were full-speed, so the
+   * efficiency of record can be computed from clean runs instead of
+   * whichever phase the schedule happened to land in (observed rounds 2-3:
+   * the same binary recorded 0.49–1.20 "efficiency" purely by phase —
+   * a throttle phase longer than the whole 3-run 2-core leg flipped the
+   * 2→8 leg superlinear). */
+  @volatile private var probeSink = 0L
+  private def hostProbeMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 500000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    probeSink += x
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** A run is trusted for the efficiency of record only when both its
+   * bracketing probes are within this factor of the session's fastest
+   * probe; phases are multi-minute, so probes bracketing even the ~100 s
+   * 2-core run catch them. */
+  private[graft] val QuietFactor = 1.25
+
+  private[graft] case class ScalingRun(gteps: Double, wallSec: Double,
+                                       probeBeforeMs: Double, probeAfterMs: Double) {
+    def worstProbeMs: Double = math.max(probeBeforeMs, probeAfterMs)
+  }
+
+  /** Probe-filtered best: the fastest run among those whose bracketing
+   * probes show a full-speed VM (within [[QuietFactor]] of `minProbeMs`);
+   * falls back to the unfiltered best when a level drew no quiet run.
+   * Returns the chosen run plus the quiet-run count for the audit trail. */
+  private[graft] def pickRun(rs: Seq[ScalingRun], minProbeMs: Double): (ScalingRun, Int) = {
+    val quiet = rs.filter(_.worstProbeMs <= minProbeMs * QuietFactor)
+    ((if (quiet.nonEmpty) quiet else rs).maxBy(_.gteps), quiet.size)
+  }
+
+  /** One measured run in a fresh session at `cores`, bracketed by host
+   * probes; shuffle partitions fixed at the data-sized count and AQE off
+   * across all parallelism levels (see [[session]]). Sessions share the
+   * JVM, so JIT/page-cache warmth carries across; the caller does one
+   * throwaway warm-up run first. */
+  private def oneRun(cores: Int, path: String): ScalingRun = {
+    val pb = hostProbeMs()
     val s = session(cores, parts = ScalingParts, aqe = false)
-    try pagerankRun(s, path) finally s.stop()
+    val (g, w) = try pagerankRun(s, path) finally s.stop()
+    ScalingRun(g, w, pb, hostProbeMs())
   }
 
   /** one partition ≈ 2.1M edges of the s22 graph — fits executor memory
    * with headroom; held constant across the 2/8/32-core legs. */
   private val ScalingParts = 32
 
-  private def fmtRuns(runs: Seq[(Double, Double)]): String =
-    runs.map(r => f"${r._1}%.5f").mkString("[", ",", "]")
+  private def fmtRuns(runs: Seq[ScalingRun]): String =
+    runs.map(r => f"${r.gteps}%.5f").mkString("[", ",", "]")
 
-  /** leg JSON: best-of-n gteps at both sizes + full distributions.
-   * best-of-N estimates capability rather than the noise floor (run-to-run
-   * variance is ±15% from GC/page-cache interference on a shared host,
-   * with multi-minute 2-3× throttle phases on top). */
+  private def fmtProbes(runs: Seq[ScalingRun]): String =
+    runs.map(r => f"[${r.probeBeforeMs}%.0f,${r.probeAfterMs}%.0f]")
+      .mkString("[", ",", "]")
+
+  /** leg JSON: probe-filtered best-of-n gteps at both sizes + full run and
+   * probe distributions. Among runs whose bracketing probes are quiet
+   * (within [[QuietFactor]] of the session's fastest probe — i.e. the VM
+   * was demonstrably full-speed around the run), take the best; fall back
+   * to unfiltered best only if a level got no quiet run (quiet_runs_* in
+   * the JSON records which case happened). Best-of estimates capability
+   * rather than the noise floor (±15% GC/page-cache variance even inside
+   * a quiet phase). */
   private def legJson(cN: Int, c4N: Int,
-                      rN: Seq[(Double, Double)], r4N: Seq[(Double, Double)]): String = {
-    val bN = rN.maxBy(_._1); val b4N = r4N.maxBy(_._1)
-    val eff = (b4N._1 / bN._1) / 4.0
+                      rN: Seq[ScalingRun], r4N: Seq[ScalingRun],
+                      minProbeMs: Double): String = {
+    val (bN, qN) = pickRun(rN, minProbeMs); val (b4N, q4N) = pickRun(r4N, minProbeMs)
+    val eff = (b4N.gteps / bN.gteps) / 4.0
     f"""{"graph":"rmat_s22_ef16","cores_n":$cN,"cores_4n":$c4N,""" +
-      f""""gteps_n":${bN._1}%.5f,"gteps_4n":${b4N._1}%.5f,""" +
-      f""""wall_n_sec":${bN._2}%.2f,"wall_4n_sec":${b4N._2}%.2f,""" +
+      f""""gteps_n":${bN.gteps}%.5f,"gteps_4n":${b4N.gteps}%.5f,""" +
+      f""""wall_n_sec":${bN.wallSec}%.2f,"wall_4n_sec":${b4N.wallSec}%.2f,""" +
       f""""runs_n":${fmtRuns(rN)},"runs_4n":${fmtRuns(r4N)},""" +
+      f""""probes_ms_n":${fmtProbes(rN)},"probes_ms_4n":${fmtProbes(r4N)},""" +
+      f""""quiet_runs_n":$qN,"quiet_runs_4n":$q4N,""" +
+      f""""quiet_probe_floor_ms":${minProbeMs * QuietFactor}%.0f,""" +
       f""""efficiency":$eff%.3f}"""
   }
 
@@ -200,20 +260,23 @@ object Bench {
     // Part 2: scaling evidence (north rule, sandbox substitution): same job,
     // same input, fixed partitions, AQE off — identical physical plan at
     // every core count; north-rule leg 8→32 cores plus the compute-bound
-    // 2→8 leg. Legs INTERLEAVED round-robin, one run per fresh session
-    // (rationale in the object doc). The 2-core leg costs ~100 s/run and
-    // gets 3 runs spread across the schedule (a throttled phase can outlast
-    // two adjacent runs — observed: both 2-core runs of one session
-    // throttled 2×, flipping the 2→8 leg past 1.0); 8/32 get 5.
+    // 2→8 leg. Legs INTERLEAVED round-robin, 4 runs per level, one run per
+    // fresh session, each run bracketed by host-speed probes (rationale in
+    // the object doc and at [[hostProbeMs]]): the efficiency of record is
+    // computed from probe-verified full-speed runs, with the probe readings
+    // published in the JSON so the filter is auditable.
     val warm = session(32, parts = ScalingParts, aqe = false)
     try pagerankRun(warm, scalePath) finally warm.stop() // JIT + page cache
+    hostProbeMs() // JIT the probe loop before any recorded probe
     val acc = scala.collection.mutable.Map(
-      2 -> Vector.empty[(Double, Double)],
-      8 -> Vector.empty[(Double, Double)],
-      32 -> Vector.empty[(Double, Double)])
-    val schedule = Seq(2, 8, 32, 8, 32, 2, 8, 32, 8, 32, 2, 8, 32)
+      2 -> Vector.empty[ScalingRun],
+      8 -> Vector.empty[ScalingRun],
+      32 -> Vector.empty[ScalingRun])
+    val schedule = Seq(2, 8, 32, 2, 8, 32, 2, 8, 32, 2, 8, 32)
     for (c <- schedule) acc(c) :+= oneRun(c, scalePath)
     val r2 = acc(2); val r8 = acc(8); val r32 = acc(32)
+    val minProbeMs = (r2 ++ r8 ++ r32)
+      .flatMap(r => Seq(r.probeBeforeMs, r.probeAfterMs)).min
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -223,8 +286,8 @@ object Bench {
     val stepsJson = steps.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    val scalingJson = legJson(8, 32, r8, r32)
-    val computeLegJson = legJson(2, 8, r2, r8)
+    val scalingJson = legJson(8, 32, r8, r32, minProbeMs)
+    val computeLegJson = legJson(2, 8, r2, r8, minProbeMs)
     val totalStr = f"$total%.3f"
     val line =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,""" +

@@ -317,6 +317,22 @@ object SparkEntry {
         .collect().map(_.getLong(0)).toSeq
       graft.alg.Traversals.eccentricity(e, roots)
     }),
+    "q_anf" -> ((s, dir) => {
+      // HyperANF neighborhood function vs the exact one: the oracle checks
+      // n_reach exactly (unrolled reachability CTE) and anf_ok asserts the
+      // estimator's per-h relative error in-plan (same floor-row pattern as
+      // q_ann_lsh_recall). Fixed depth 3 (the 500-vertex mod graph's balls
+      // saturate at h=2) so both engines compare identical hops; m=64,
+      // deterministic hashes ⇒ the measured relerr is a constant of the
+      // data, floor 0.15.
+      val g = Graph.undirected(eMOD(s, dir))
+      val est = graft.alg.Anf.run(g, m = 64, maxH = 3, relTol = 0.0).neighborhood
+      graft.alg.Anf.exactNeighborhood(g, maxH = 3)
+        .join(est, Seq("h"))
+        .select(col("h").cast("int").as("h"),
+          col("n_reach").cast("long").as("n_reach"),
+          (abs(col("est") - col("n_reach")) / col("n_reach") <= 0.15).as("anf_ok"))
+    }),
     "q_betweenness" -> ((s, dir) => {
       val e = Graph.undirected(eMOD(s, dir))
       val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
@@ -1220,6 +1236,22 @@ object SparkEntry {
       ),
       lvl AS (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v)
       SELECT root AS vid, CAST(MAX(d) AS INTEGER) AS eccentricity FROM lvl GROUP BY root""",
+    // exact neighborhood function N(h) = #{(root, v) : dist <= h} for
+    // h = 0..4 over the undirected mod graph; anf_ok mirrors the in-plan
+    // relative-error floor of the HyperANF estimate (floor-row pattern)
+    "q_anf" -> s"""
+      WITH RECURSIVE e0 AS MATERIALIZED ($SqlEMOD),
+      und AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      verts AS (SELECT DISTINCT src AS v FROM und),
+      walk(root, v, d) AS (
+        SELECT v, v, 0 FROM verts
+        UNION
+        SELECT walk.root, und.dst, walk.d + 1 FROM walk JOIN und ON walk.v = und.src WHERE walk.d < 3
+      ),
+      lvl AS MATERIALIZED (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v),
+      hs AS (SELECT UNNEST([0, 1, 2, 3]) AS h)
+      SELECT CAST(hs.h AS INTEGER) AS h, CAST(COUNT(*) AS BIGINT) AS n_reach, TRUE AS anf_ok
+      FROM hs JOIN lvl ON lvl.d <= hs.h GROUP BY hs.h""",
     "q_pagerank" -> pagerankSql,
     "q_ppr" -> pprSql(rounds = 5, nSeeds = 5),
     "q_hits" -> hitsSql(rounds = 5),

@@ -1,0 +1,171 @@
+package graft.alg
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.{Adjacency, Graph, Lineage, StepResult, Superstep}
+
+/**
+ * Approximate neighborhood function + effective diameter (HyperANF,
+ * Boldi–Rosa–Vigna, WWW'11): per-vertex HyperLogLog counters of the ball
+ * B(v, h), advanced one hop per superstep by max-merging each vertex's
+ * registers with its out-neighbors' registers of the previous round.
+ * N(h) = Σ_v |B(v, h)| estimated as the sum of the per-vertex HLL
+ * estimates; the effective diameter is the (interpolated) smallest h with
+ * N(h) ≥ q·N(H).
+ *
+ * A link-graph extension beyond the reference (its closest counterpart is
+ * the exact sampled eccentricity in `totem_benchmark`-style traversals —
+ * see `Traversals.eccentricity`): the exact neighborhood function is
+ * O(V²)-ish state at web scale, while HyperANF is the published estimator
+ * whose state is V × m small registers no matter the graph — the only
+ * O(V²)-free way to an effective-diameter number on a 10^11-edge crawl.
+ *
+ * Spark-first shape (no UDFs, everything codegen'd):
+ *  - registers are m primitive INT columns r0..r{m-1} on the O(V) state —
+ *    NOT an array column — so the per-superstep scatter is a plain
+ *    groupBy(dst).agg(max(r0), ..., max(r{m-1})) with full map-side partial
+ *    aggregation: the shuffle after the explode carries at most
+ *    (distinct dst per task) × m ints, the exact outbox-combine shape every
+ *    other superstep kernel here uses (an array column would force a
+ *    collect_list-style aggregate that buffers whole neighbor lists).
+ *  - register init is pure column algebra: bucket j = xxhash64(vid) mod m,
+ *    and ρ = 33 - bit_length(w) for a second 32-bit hash w, with
+ *    bit_length(w) = length(bin(w)) (bin() prints without leading zeros).
+ *  - the per-round N(h) probe reads the freshly cut state (cut-before-probe
+ *    — the step plan executes once per superstep, `Superstep` contract).
+ *
+ * Determinism: xxhash64 with fixed column inputs — same data, same
+ * estimates, every run and every engine.
+ */
+object Anf {
+
+  final case class Result(
+      /** (h: Int, est: Double) — estimated N(h), h = 0..H (h=0 is |V|, exact). */
+      neighborhood: DataFrame,
+      /** interpolated smallest h with N(h) ≥ quantile · N(H). */
+      effectiveDiameter: Double,
+      metrics: Seq[graft.core.StepMetrics])
+
+  /**
+   * @param m       registers per vertex (power of two; 64 ⇒ ±13% per-ball
+   *                standard error, 4·m bytes of state per vertex)
+   * @param maxH    hop cap (= maxSupersteps)
+   * @param relTol  stop when N(h) grows by less than this relative factor
+   *                (the ball fixpoint); ≤ 0 runs exactly maxH hops — the
+   *                fixed-depth mode the driver oracle pins
+   * @param quantile effective-diameter quantile (0.9 is the literature's)
+   */
+  def run(edges: DataFrame,
+          m: Int = 64,
+          maxH: Int = 30,
+          relTol: Double = 1e-3,
+          quantile: Double = 0.9,
+          checkpointDir: Option[String] = None,
+          resume: Boolean = false,
+          verbose: Boolean = false): Result = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count() // partition build is init-time, not alg_exec
+    val verts = Graph.vertices(edges)
+    val v = verts.count()
+    val e = edges.count()
+
+    val regs = (0 until m).map(i => s"r$i")
+    // bucket + rank from two independent hashes of the vertex id; w is
+    // folded to 32 bits so bin(w) has <= 32 digits and ρ <= 33 fits any
+    // register comfortably
+    val j = pmod(xxhash64(col(Graph.VID)), lit(m.toLong))
+    val w = pmod(xxhash64(col(Graph.VID), lit(1L)), lit(4294967296L))
+    val rho = when(w === 0, lit(33)).otherwise(lit(33) - length(bin(w)))
+    val init = verts.select(
+      col(Graph.VID) +: regs.zipWithIndex.map { case (c, i) =>
+        when(j === i, rho).otherwise(lit(0)).cast("int").as(c)
+      }: _*)
+
+    // HLL estimate of |B(v,h)| from one row's registers (raw estimator +
+    // linear-counting small-range correction, Flajolet et al. 2007)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zInv = regs.map(c => pow(lit(2.0), -col(c))).reduce(_ + _)
+    val rawE = lit(alpha * m * m) / zInv
+    val zeros = regs.map(c => when(col(c) === 0, 1).otherwise(0)).reduce(_ + _)
+    val ballEst: Column = when(rawE <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
+
+    val history = ListBuffer[Double](v.toDouble) // N(0) = |V|, exact
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = maxH, checkpointDir = checkpointDir,
+        resume = resume, verbose = verbose)) { (state, _) =>
+      // scatter: each vertex offers its registers to its out-neighbors;
+      // max() per register partial-aggregates map-side (outbox combine)
+      val msgs = adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID) +: regs.map(col): _*)
+        .groupBy(Graph.VID)
+        .agg(max(regs.head).as(s"m_${regs.head}"),
+          regs.tail.map(c => max(c).as(s"m_$c")): _*)
+      // merge with own registers (the ball contains the previous ball)
+      val next = state.join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
+        .select(col(Graph.VID) +: regs.map(c =>
+          greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c)): _*)
+      val cut = Lineage.cut(next)
+      val nh = cut.agg(sum(ballEst)).collect()(0).getDouble(0)
+      val prev = history.last
+      history += nh
+      StepResult(cut, edgesTraversed = e,
+        converged = relTol > 0 && math.abs(nh - prev) <= relTol * prev)
+    }
+    adj.unpersist(blocking = false)
+
+    val target = quantile * history.last
+    val hIdx = history.indexWhere(_ >= target)
+    val effD =
+      if (hIdx <= 0) 0.0
+      else {
+        val lo = history(hIdx - 1); val hi = history(hIdx)
+        (hIdx - 1) + (if (hi > lo) (target - lo) / (hi - lo) else 1.0)
+      }
+    val nf = history.toSeq.zipWithIndex.map { case (n, h) => (h, n) }.toDF("h", "est")
+    Result(nf, effD, outcome.metrics)
+  }
+
+  /**
+   * Exact neighborhood function (h, n_reach) for h = 0..maxH by level-
+   * synchronous expansion of ALL balls at once — O(Σ_v |B(v,h)|) state, the
+   * small-scale oracle path for [[run]] (same role the brute-force scan
+   * plays for the ANN paths). If every ball saturates before maxH the
+   * remaining rows are padded with the fixpoint count, mirroring the
+   * estimator's flat tail.
+   */
+  def exactNeighborhood(edges: DataFrame, maxH: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    var reach = Graph.vertices(edges)
+      .select(col(Graph.VID).as("root"), col(Graph.VID))
+      .transform(Lineage.cut)
+    var frontier = reach
+    val counts = ListBuffer[(Int, Long)]((0, reach.count()))
+    var h = 0
+    while (h < maxH && !frontier.isEmpty) {
+      h += 1
+      val next = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
+        .select(col("root"), explode(col("nbrs")).as(Graph.VID))
+        .distinct()
+        .join(reach.select(col("root").as("__r"), col(Graph.VID).as("__v")),
+          col("root") === col("__r") && col(Graph.VID) === col("__v"), "left_anti")
+        .transform(Lineage.cut)
+      reach = reach.unionByName(next).transform(Lineage.cut)
+      frontier = next
+      counts += ((h, counts.last._2 + next.count()))
+    }
+    while (counts.size <= maxH) counts += ((counts.size, counts.last._2))
+    adj.unpersist(blocking = false)
+    counts.toSeq.toDF("h", "n_reach")
+  }
+}
