@@ -382,6 +382,20 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // ---- corpus curation ----
+    "q_domain_cap" -> ((s, dir) =>
+      // at most 5 docs per source, the k smallest (md5(doc_id), doc_id) —
+      // two-phase salted cap; the oracle's single row_number window selects
+      // the same rows (CurationSpec proves phase equivalence)
+      graft.text.Curation.capPerKey(
+        documents(s, dir), col("source"), col("doc_id"), k = 5)
+        .select(col("doc_id"), col("source"))),
+    "q_hash_sample" -> ((s, dir) =>
+      // deterministic 25% Bernoulli by md5 prefix; 0.25 * 2^32 = 0x40000000
+      // exactly, so the oracle's lexicographic hex compare is equivalent
+      graft.text.Curation.hashSample(documents(s, dir), col("doc_id"), 0.25)
+        .select(col("doc_id"))),
+
     // ---- dedup ----
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exactGroups(documents(s, dir))),
@@ -1316,6 +1330,14 @@ object SparkEntry {
       "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
     "q_dedup_exact" ->
       "SELECT md5(text) AS hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text)",
+    "q_domain_cap" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) WHERE rn <= 5""",
+    "q_hash_sample" ->
+      "SELECT doc_id FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'",
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_sig" -> minhashSigSql,
     "q_ann_topk" -> annTopkSql,

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for web-scale training-data pipelines: per-key
+ * (domain/host/source) document capping and deterministic hash sampling.
+ * Both are standard curation steps over a crawl-derived corpus — a handful
+ * of mega-domains otherwise dominate the token budget (the same power-law
+ * skew `totem_graph.h`-style degree distributions show for link graphs).
+ *
+ * Scale notes:
+ *  - [[capPerKey]] keeps the k rows with the smallest deterministic hash
+ *    per key. A single `row_number() over (partition by key)` would sort a
+ *    mega-domain's entire row set in one task, so the cap runs in TWO
+ *    bounded phases: phase 1 partitions each key into `salts` hash
+ *    sub-groups and keeps the per-sub-group top-k (the global per-key top-k
+ *    rows each survive their own sub-group); phase 2 re-ranks the at most
+ *    salts*k survivors per key. The widest window any task ever sorts is
+ *    max(rows/salt-group) in phase 1 — 1/salts of the hottest domain — and
+ *    salts*k rows in phase 2.
+ *  - [[hashSample]] is a pure filter (codegen'd, no shuffle): deterministic
+ *    Bernoulli by hash threshold, the idiom for a reproducible corpus
+ *    subsample that is stable under re-runs and cluster re-partitioning.
+ *
+ * Determinism / oracle contract: ordering uses the hex md5 of the id
+ * (lexicographic), which is byte-identical across engines (same cross-engine
+ * family as `MinHash.md5Signatures`), with the id itself as tie-break.
+ */
+object Curation {
+
+  /** Cross-engine deterministic rank: hex md5 of the id's string form. */
+  def hashRank(id: Column): Column = md5(id.cast("string"))
+
+  /**
+   * At most `k` rows per `key`, chosen as the k smallest (md5(id), id) —
+   * a deterministic uniform sample without replacement per key.
+   *
+   * @param salts phase-1 fan-out; bounds the widest per-task sort at
+   *              (hottest key)/salts rows. 1 degenerates to a single window
+   *              (the small-data path; the spec checks both agree).
+   */
+  def capPerKey(df: DataFrame, key: Column, id: Column, k: Int,
+                salts: Int = 64): DataFrame = {
+    require(k > 0 && salts > 0, s"k and salts must be positive, got k=$k salts=$salts")
+    val h = hashRank(id)
+    val ranked =
+      if (salts == 1) df
+      else {
+        // phase 1: per (key, hash-salt) top-k — the per-key global top-k
+        // rows are each top-k of their own sub-group, so none is lost
+        val salt = pmod(xxhash64(id), lit(salts.toLong))
+        val w1 = Window.partitionBy(key, salt).orderBy(h.asc, id.asc)
+        df.withColumn("__r1", row_number().over(w1))
+          .filter(col("__r1") <= k).drop("__r1")
+      }
+    // phase 2: exact per-key top-k over <= salts*k survivors per key
+    val w2 = Window.partitionBy(key).orderBy(h.asc, id.asc)
+    ranked.withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= k).drop("__r2")
+  }
+
+  /**
+   * Deterministic Bernoulli sample: keeps a row iff the first 8 hex chars
+   * of md5(id) (as a 32-bit value) fall under `fraction` of the hash space.
+   * Same rows survive on every engine, every run, every partitioning.
+   */
+  def hashSample(df: DataFrame, id: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    val bucket = conv(substring(hashRank(id), 1, 8), 16, 10).cast("long")
+    df.filter(bucket < lit((fraction * 4294967296.0).toLong))
+  }
+}
