@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Graph
 import graft.text.TextAnalysis
@@ -395,6 +395,53 @@ object SparkEntry {
       // exactly, so the oracle's lexicographic hex compare is equivalent
       graft.text.Curation.hashSample(documents(s, dir), col("doc_id"), 0.25)
         .select(col("doc_id"))),
+    "q_top_ngram" -> ((s, dir) =>
+      // most frequent word 2-gram per doc + its character mass (Gopher-style
+      // repetition signal); ties break (cnt desc, gram asc) in both engines
+      graft.text.Repetition.topNgram(documents(s, dir), "doc_id", "text", n = 2)
+        .withColumnRenamed("id", "doc_id")),
+    "q_dup_ngrams" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        round(graft.text.Repetition.dupNgramFraction(col("text"), 3), 6).as("dup3_frac"),
+        size(graft.text.Repetition.wordGrams(col("text"), 3)).cast("long").as("n_grams"))
+        .filter(col("n_grams") > 0)),
+    "q_dup_lines" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        round(graft.text.Repetition.dupLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(graft.text.Repetition.dupLineCharFraction(col("text")), 6).as("dup_char_frac"))),
+    "q_gopher_rules" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), graft.text.Repetition.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.alpha_frac").as("alpha_frac"),
+          col("g.stop_hits").as("stop_hits"), col("g.keep").as("keep"))),
+    "q_host_graph" -> ((s, dir) => {
+      // deterministic synthetic crawl derived from documents: doc k's page
+      // at https://src{k%20}.example.org/d/{k} links to 3 arithmetic targets
+      // t = (31k + 17j + 7) mod n. The REAL pipeline (href regex → host
+      // regex → weighted aggregate) runs here; the oracle recomputes the
+      // hosts arithmetically, so a green row proves the extraction path.
+      val d = documents(s, dir)
+      val n = d.count()
+      def link(j: Int): Column = {
+        val t = (col("doc_id") * 31 + lit(17 * j + 7)) % n
+        concat(lit("<a href=\"https://src"), (t % 20).cast("string"),
+          lit(".example.org/d/"), t.cast("string"), lit("\">x</a>"))
+      }
+      val pages = d.select(
+        concat(lit("https://"), col("source"), lit(".example.org/d/"),
+          col("doc_id")).as("url"),
+        concat(link(0), link(1), link(2)).cast("binary").as("html"))
+      graft.text.EdgeExtract.hostGraph(pages)
+    }),
+    "q_contract" -> ((s, dir) => {
+      // quotient graph: collapse the modular graph by part = vid % 25
+      val e = eMOD(s, dir)
+      val m = graft.core.Graph.vertices(e)
+        .select(col("vid"), (col("vid") % 25).as("part"))
+      graft.core.Graph.contract(e, m)
+    }),
 
     // ---- dedup ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -1338,6 +1385,68 @@ object SparkEntry {
         FROM documents) WHERE rn <= 5""",
     "q_hash_sample" ->
       "SELECT doc_id FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'",
+    "q_top_ngram" -> s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
+      grams AS (SELECT doc_id, length(array_to_string(t, ' ')) AS joined_len,
+                       array_to_string(t[i:i+1], ' ') AS gram
+                FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 1, 0))) AS u(i)),
+      cnts AS (SELECT doc_id, joined_len, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+      top AS (SELECT doc_id, joined_len, gram, cnt, row_number() OVER (
+                PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM cnts)
+      SELECT doc_id, gram, cnt,
+        ROUND(cnt * length(gram) * 1.0 / joined_len, 6) AS char_frac
+      FROM top WHERE rn = 1""",
+    "q_dup_ngrams" -> s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
+      grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i))
+      SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6) AS dup3_frac,
+        COUNT(*) AS n_grams
+      FROM grams GROUP BY doc_id""",
+    "q_dup_lines" -> """
+      WITH ls AS (SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                    x -> length(x) > 0) AS l
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN len(l) > 0
+             THEN ROUND(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6)
+             ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN len(l) > 0 AND list_sum(list_transform(l, x -> length(x))) > 0
+             THEN ROUND((list_sum(list_transform(l, x -> length(x)))
+                         - list_sum(list_transform(list_distinct(l), x -> length(x)))) * 1.0
+                        / list_sum(list_transform(l, x -> length(x))), 6)
+             ELSE 0.0 END AS dup_char_frac
+      FROM ls""",
+    "q_gopher_rules" -> s"""
+      WITH stats AS (
+        SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS n_words,
+          CASE WHEN len(t) > 0
+               THEN ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6)
+               ELSE 0.0 END AS mean_word_len,
+          CASE WHEN len(t) > 0
+               THEN ROUND(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(t), 6)
+               ELSE 0.0 END AS alpha_frac,
+          CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|that|with)\\b')) AS BIGINT) AS stop_hits
+        FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '$TOK') AS t FROM documents))
+      SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+        (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+      FROM stats""",
+    "q_host_graph" -> """
+      WITH l AS (
+        SELECT 'src' || CAST(d.doc_id % 20 AS VARCHAR) || '.example.org' AS src_host,
+               'src' || CAST(((d.doc_id * 31 + 17 * j.j + 7)
+                              % (SELECT COUNT(*) FROM documents)) % 20 AS VARCHAR)
+                 || '.example.org' AS dst_host
+        FROM documents d, UNNEST([0, 1, 2]) AS j(j))
+      SELECT src_host, dst_host, COUNT(*) AS weight FROM l
+      WHERE src_host != dst_host GROUP BY 1, 2""",
+    "q_contract" -> s"""
+      WITH e AS ($SqlEMOD)
+      SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight
+      FROM e WHERE src % 25 != dst % 25 GROUP BY 1, 2""",
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_sig" -> minhashSigSql,
     "q_ann_topk" -> annTopkSql,

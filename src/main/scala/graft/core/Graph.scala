@@ -41,6 +41,28 @@ object Graph {
   def reverse(edges: DataFrame): DataFrame =
     edges.select(col(DST).as(SRC), col(SRC).as(DST))
 
+  /**
+   * Quotient (contracted) graph: collapse vertices by a partition `mapping
+   * (vid, part)` and aggregate parallel edges into weights — the coarsening
+   * step of multilevel partitioners and the host-collapse of a url link
+   * graph (see `text.EdgeExtract.hostGraph`). Output:
+   * `(src: part, dst: part, weight = #collapsed edges)`; self-loops (edges
+   * internal to a part) are dropped when `dropSelfLoops`.
+   *
+   * Scale: two hash joins keyed on vid (the mapping is O(V), never
+   * broadcast) + one aggregation keyed on the part pair; no windows.
+   */
+  def contract(edges: DataFrame, mapping: DataFrame,
+               dropSelfLoops: Boolean = true): DataFrame = {
+    val m = mapping.select(col(VID), col("part"))
+    val g = edges
+      .join(m.withColumnRenamed(VID, SRC).withColumnRenamed("part", "sp"), SRC)
+      .join(m.withColumnRenamed(VID, DST).withColumnRenamed("part", "dp"), DST)
+      .groupBy(col("sp").as(SRC), col("dp").as(DST))
+      .agg(count(lit(1)).as("weight"))
+    if (dropSelfLoops) g.filter(col(SRC) =!= col(DST)) else g
+  }
+
   /** Distinct vertex ids appearing at either endpoint. */
   def vertices(edges: DataFrame): DataFrame =
     edges.select(col(SRC).as(VID)).union(edges.select(col(DST).as(VID))).distinct()

@@ -138,6 +138,23 @@ object EventStream {
       }
   }
 
+  /**
+   * Streaming exact dedup with BOUNDED state: drops rows whose `keys` were
+   * already seen within the event-time watermark window
+   * (`dropDuplicatesWithinWatermark` — state for a key is dropped once the
+   * watermark passes it, so a 100 TB/day stream holds one watermark-window
+   * of keys, not the full history; plain `dropDuplicates` on a stream grows
+   * state forever). Batch frames take the plain distinct-by-keys path with
+   * the same column contract, so the operator is testable against batch
+   * semantics when duplicates arrive within the window.
+   */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+
   /** File-based streaming source over a directory of parquet event files —
    * the readStream entry (micro-batch). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,26 @@ object EdgeExtract {
       .withColumn("rn", row_number().over(Window.partitionBy("b").orderBy("url")).cast("long") - 1L)
       .join(broadcast(offDf), "b")
       .select(col("url"), (col("off") + col("rn")).as("vid"))
+  }
+
+  /** Host part of an absolute http(s) url (authority minus port). */
+  def host(url: Column): Column =
+    regexp_extract(url, "^https?://([^/:?#]+)", 1)
+
+  /**
+   * Collapse the page-level link graph to a weighted HOST graph — the
+   * standard first aggregation over a crawl (host-level rank, domain
+   * spam analysis): `(src_host, dst_host, weight = #page-level links)`.
+   * The quotient-graph analog of [[graft.core.Graph.contract]] where the
+   * partition is the url's host, computed inline (no O(V) mapping join —
+   * the "mapping" is a codegen'd regex on each endpoint). Intra-host links
+   * are dropped when `dropSelfLoops`.
+   */
+  def hostGraph(pages: DataFrame, dropSelfLoops: Boolean = true): DataFrame = {
+    val l = links(pages).select(
+      host(col("src_url")).as("src_host"), host(col("dst_url")).as("dst_host"))
+    val g = l.groupBy("src_host", "dst_host").agg(count(lit(1)).as("weight"))
+    if (dropSelfLoops) g.filter(col("src_host") =!= col("dst_host")) else g
   }
 
   /** Full pipeline: pages → edges(src: Long, dst: Long). Dangling link

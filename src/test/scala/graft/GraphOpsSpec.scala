@@ -172,4 +172,16 @@ class GraphOpsSpec extends SparkSpec {
     val got = Graph.assortativity(g2).collect()(0).getDouble(0)
     assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
   }
+
+  test("contract: quotient graph aggregates collapsed edge multiplicity") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
+    val m = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("vid", "part")
+    val g = Graph.contract(e, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(g == Map((0L, 1L) -> 2L, (1L, 0L) -> 1L))
+    val loops = Graph.contract(e, m, dropSelfLoops = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(loops == Map((0L, 1L) -> 2L, (1L, 0L) -> 1L,
+      (0L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
 }

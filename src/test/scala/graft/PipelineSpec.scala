@@ -76,4 +76,22 @@ class PipelineSpec extends SparkSpec {
     val medianDeg = degs(degs.length / 2)
     assert(maxDeg > 8 * medianDeg, s"max=$maxDeg median=$medianDeg — expected heavy tail")
   }
+
+  test("host graph collapses page-level links to weighted host edges") {
+    val pages = Seq(
+      ("https://a.com/1", "<a href=\"https://b.com/x\">x</a> <a href=\"https://b.com/y\">y</a> <a href=\"https://a.com/2\">self</a>"),
+      ("https://a.com/2", "<a href=\"https://b.com/x\">x</a>"),
+      ("https://b.com/x", "<a href=\"https://a.com/1\">back</a>"))
+      .toDF("url", "html").withColumn("html", col("html").cast("binary"))
+    val g = EdgeExtract.hostGraph(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(g == Map(("a.com", "b.com") -> 3L, ("b.com", "a.com") -> 1L))
+    val loops = EdgeExtract.hostGraph(pages, dropSelfLoops = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(loops(("a.com", "a.com")) == 1L && loops(("a.com", "b.com")) == 3L)
+    // host(): port/path/query/fragment stripped
+    val hosts = Seq("https://h.io:8080/p?q=1#f", "http://x.y.z/", "ftp://nope/a")
+      .toDF("u").select(EdgeExtract.host(col("u"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("h.io", "x.y.z", ""))
+  }
 }

@@ -90,4 +90,29 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.read.parquet(out).count() == 100)
   }
+
+  test("streaming dedup within watermark drops cross-batch duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dd = EventStream.dedupWithinWatermark(df, Seq("event_id"), "30 minutes")
+    val q = dd.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // in-batch duplicate of id 1
+      mem.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(1), 1L, "click", 2.0),
+        (1L, ts(0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // id 1 re-arrives in a LATER micro-batch (different event time), still
+      // within the 30-minute watermark window -> dropped by state
+      mem.addData((1L, ts(2), 1L, "click", 9.0), (3L, ts(3), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // batch frames take the plain distinct-by-keys path, same column contract
+    val batch = Seq((1L, ts(0), 1L, "c", 1.0), (1L, ts(5), 1L, "c", 1.0),
+      (2L, ts(1), 1L, "c", 2.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventStream.dedupWithinWatermark(batch, Seq("event_id")).count() == 2)
+  }
 }
