@@ -442,6 +442,89 @@ object SparkEntry {
         .select(col("vid"), (col("vid") % 25).as("part"))
       graft.core.Graph.contract(e, m)
     }),
+    "q_pii" -> ((s, dir) => {
+      // deterministic PII injection (email, IPv4, phone, arithmetic per
+      // doc); BOTH engines then run their real regex engine over the same
+      // string, so the md5 of the redacted text checks match positions and
+      // replacement order, not just counts
+      val id = col("doc_id")
+      val injected = concat(col("text"),
+        lit(" contact u"), id.cast("string"), lit("@ex"),
+        (id % 7).cast("string"), lit(".net call 555-123-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+        (id % 100).cast("string"),
+        when(id % 3 === 0, lit(" or admin@example.org")).otherwise(lit("")))
+      documents(s, dir).select(id,
+          graft.text.Privacy.piiStats(injected).as("p"),
+          md5(graft.text.Privacy.redactPii(injected)).as("red_md5"))
+        .select(id, col("p.n_email").as("n_email"),
+          col("p.n_ipv4").as("n_ipv4"), col("p.n_phone").as("n_phone"),
+          col("red_md5"))
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark set = every 50th doc; flag any doc sharing a word 3-gram
+      val d = documents(s, dir)
+      graft.text.Decontaminate.flagContaminated(
+          d, d.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("contaminated"))
+    }),
+    "q_url_norm" -> ((s, dir) => {
+      // messy urls built arithmetically (mixed-case authority, default and
+      // non-default ports, fragments, bare root slash); the REAL
+      // normalization chain runs here, the oracle recomputes the canonical
+      // form arithmetically
+      val id = col("doc_id")
+      val m = (id % 20).cast("string")
+      val host = when(id % 3 === 0, concat(lit("SRC"), m, lit(".Example.ORG")))
+        .when(id % 3 === 1, concat(lit("src"), m, lit(".example.org")))
+        .otherwise(concat(lit("Src"), m, lit(".EXAMPLE.org")))
+      val port = when(id % 5 === 0, lit(":443"))
+        .when(id % 5 === 1, lit(":8443")).otherwise(lit(""))
+      val path = when(id % 7 === 0, lit("/"))
+        .otherwise(concat(lit("/D/"), id.cast("string")))
+      val frag = when(id % 2 === 0, concat(lit("#Sec"), id.cast("string")))
+        .otherwise(lit(""))
+      documents(s, dir).select(id, graft.text.UrlOps.normalizeUrl(
+        concat(lit("https://"), host, port, path, frag)).as("url_norm"))
+    }),
+    "q_latest_snapshot" -> ((s, dir) => {
+      // 5 crawl snapshots per page (doc_id % 100 keys the page; case/port/
+      // fragment noise collapses under normalization); keep the latest
+      val id = col("doc_id")
+      val mm = id % 100
+      val m = (mm % 20).cast("string")
+      val host = when(id % 3 === 0, concat(lit("SRC"), m, lit(".Example.ORG")))
+        .when(id % 3 === 1, concat(lit("src"), m, lit(".example.org")))
+        .otherwise(concat(lit("Src"), m, lit(".EXAMPLE.org")))
+      val port = when(id % 5 === 0, lit(":443")).otherwise(lit(""))
+      val frag = when(id % 2 === 0, concat(lit("#v"), id.cast("string")))
+        .otherwise(lit(""))
+      val pages = documents(s, dir).select(id,
+        concat(lit("https://"), host, port, lit("/d/"), mm.cast("string"),
+          frag).as("url"),
+        ((id * 13) % 500).as("warc_ts"))
+      graft.text.UrlOps.latestSnapshot(pages, "url", "warc_ts", "doc_id")
+        .select(col("url_norm"), col("doc_id"), col("warc_ts"))
+    }),
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      // corpus with heavy cross-doc paragraph reuse: doc k's 3 paragraphs
+      // are the texts of docs (7k+j) % 150 — CCNet-style global first-
+      // occurrence dedup then reassembly, md5-checked
+      val d = documents(s, dir)
+      val pool = d.select(col("doc_id").as("pid"), col("text").as("ptext"))
+      val paras = d.select(col("doc_id"),
+          explode(array(lit(0), lit(1), lit(2))).as("j"))
+        .withColumn("pid", (col("doc_id") * 7 + col("j")) % 150)
+        .join(pool, "pid")
+      val docs2 = paras.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("ptext")))),
+          p => p("ptext")), "\n").as("text"))
+      graft.dedup.Dedup.dedupParagraphs(docs2)
+        .select(col("doc_id"), md5(col("text_kept")).as("kept_md5"),
+          col("n_kept"))
+    }),
 
     // ---- dedup ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -1447,6 +1530,63 @@ object SparkEntry {
       WITH e AS ($SqlEMOD)
       SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight
       FROM e WHERE src % 25 != dst % 25 GROUP BY 1, 2""",
+    "q_pii" -> s"""
+      WITH t AS (SELECT doc_id,
+        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+          || CAST(doc_id % 7 AS VARCHAR) || '.net call 555-123-'
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+          || CAST(doc_id % 100 AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0 THEN ' or admin@example.org' ELSE '' END AS x
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(x, '${graft.text.Privacy.EmailPattern}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(x, '${graft.text.Privacy.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(x, '${graft.text.Privacy.PhonePattern}')) AS BIGINT) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(x,
+          '${graft.text.Privacy.EmailPattern}', '<EMAIL>', 'g'),
+          '${graft.text.Privacy.Ipv4Pattern}', '<IP>', 'g'),
+          '${graft.text.Privacy.PhonePattern}', '<PHONE>', 'g')) AS red_md5
+      FROM t""",
+    "q_decontaminate" -> s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
+      grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+                FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i)),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g))
+      SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+    "q_url_norm" -> """
+      SELECT doc_id,
+        'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+        || CASE WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ''
+                ELSE '/D/' || CAST(doc_id AS VARCHAR) END AS url_norm
+      FROM documents""",
+    "q_latest_snapshot" -> """
+      WITH pages AS (SELECT doc_id, doc_id % 100 AS mm,
+                            (doc_id * 13) % 500 AS warc_ts FROM documents),
+      r AS (SELECT 'https://src' || CAST(mm % 20 AS VARCHAR)
+              || '.example.org/d/' || CAST(mm AS VARCHAR) AS url_norm,
+            doc_id, warc_ts, row_number() OVER (
+              PARTITION BY mm ORDER BY warc_ts DESC, doc_id DESC) AS rn
+            FROM pages)
+      SELECT url_norm, doc_id, warc_ts FROM r WHERE rn = 1""",
+    "q_dedup_paragraphs" -> """
+      WITH pj AS (
+        SELECT d.doc_id, j.j AS pos, trim(p.text) AS para
+        FROM documents d
+        CROSS JOIN UNNEST([0, 1, 2]) AS j(j)
+        JOIN documents p ON p.doc_id = (d.doc_id * 7 + j.j) % 150
+        WHERE length(trim(p.text)) > 0),
+      keep AS (SELECT doc_id, pos, para, row_number() OVER (
+                 PARTITION BY para ORDER BY doc_id, pos) AS rn FROM pj),
+      reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS t,
+                     COUNT(*) AS n
+              FROM keep WHERE rn = 1 GROUP BY doc_id)
+      SELECT d.doc_id, md5(COALESCE(r.t, '')) AS kept_md5,
+             CAST(COALESCE(r.n, 0) AS BIGINT) AS n_kept
+      FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""",
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_sig" -> minhashSigSql,
     "q_ann_topk" -> annTopkSql,

@@ -181,4 +181,45 @@ object Dedup {
       .filter(col("is_keeper")).select(col(id))
     docs.join(keepers, Seq(id), "left_semi")
   }
+
+  /**
+   * CORPUS-LEVEL paragraph dedup (CCNet-style, Wenzek et al. 2019, public):
+   * split every document on newlines, keep only the globally FIRST
+   * occurrence of each distinct trimmed non-empty paragraph (first =
+   * minimum (id, position) — deterministic), and reassemble each document
+   * from its surviving paragraphs in original order. Boilerplate repeated
+   * across a crawl (navigation, cookie banners, license footers) survives
+   * exactly once in the whole corpus.
+   *
+   * Output: (id, text_kept, n_kept) for every input document — text_kept is
+   * "" when every paragraph of the document occurred earlier elsewhere.
+   *
+   * Scale design: the winner per paragraph is `min(struct(id, pos))`
+   * grouped by the paragraph hash — a map-side-combinable aggregation, so
+   * the exchange carries one candidate per (task, paragraph), never a
+   * paragraph's full occurrence list; no windows. Reassembly sorts only
+   * WITHIN one document (array_sort over its kept positions). Joining back
+   * on the 128-bit content hash (md5) rather than the paragraph text keeps
+   * the shuffled rows narrow; a hash collision would need 2^64 paragraphs.
+   */
+  def dedupParagraphs(docs: DataFrame, id: String = "doc_id",
+                      text: String = "text"): DataFrame = {
+    val paras = docs.select(col(id).as("id"),
+        posexplode(filter(transform(split(col(text), "\n"), p => trim(p)),
+          p => length(p) > 0)).as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para")))
+    val winners = paras.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("h"), col("w.id").as("id"), col("w.pos").as("pos"))
+    val kept = paras.join(winners, Seq("h", "id", "pos"), "left_semi")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("para")))).as("ps"))
+      .select(col("id"),
+        array_join(transform(col("ps"), p => p("para")), "\n").as("text_kept"),
+        size(col("ps")).cast("long").as("n_kept"))
+    docs.select(col(id).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(id),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

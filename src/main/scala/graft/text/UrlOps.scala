@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization and crawl-snapshot selection — the first two
+ * operators of any Common-Crawl-style ingest: the same page is fetched many
+ * times under cosmetically different urls (case-varying host, fragments,
+ * explicit default ports) and at many `warc_ts` capture times; training
+ * pipelines keep ONE canonical row per page, usually the latest capture.
+ *
+ * Scale design:
+ *  - [[normalizeUrl]] is a pure codegen'd regex `Column` chain (no UDF, no
+ *    shuffle) — it fuses into the scan;
+ *  - [[latestSnapshot]] is a single `max_by` aggregation keyed on the
+ *    normalized url: map-side combinable (each task keeps one candidate row
+ *    per url before the exchange), so the shuffle carries at most one row
+ *    per (task, url) — the right shape when a url recurs across the whole
+ *    crawl. No windows, no sort of a url's full history anywhere.
+ *
+ * Ties on `warc_ts` break deterministically by the id column so the winner
+ * is engine-independent (same cross-engine contract as
+ * [[Curation.capPerKey]]).
+ */
+object UrlOps {
+
+  /**
+   * Canonical form of an absolute http(s) url:
+   *  1. fragment stripped;
+   *  2. scheme + authority lowercased (path/query case is significant and
+   *     kept);
+   *  3. explicit default ports removed (`:80` for http, `:443` for https);
+   *  4. a bare root path `/` with nothing after it dropped.
+   */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase ONLY scheme://authority; keep the rest byte-identical
+    val head = lower(regexp_extract(noFrag, "^([^/?#]*//[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[^/?#]*//[^/?#]*", "")
+    val joined = concat(head, rest)
+    val noPort = regexp_replace(
+      regexp_replace(joined, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    regexp_replace(noPort, "^(https?://[^/?#]+)/$", "$1")
+  }
+
+  /**
+   * One row per normalized url: the row with the greatest `tsCol`, ties
+   * broken by greatest `idCol`. Output: `url_norm` plus every original
+   * column of the winning row.
+   */
+  def latestSnapshot(pages: DataFrame, urlCol: String, tsCol: String,
+                     idCol: String): DataFrame = {
+    val cols = pages.columns.toIndexedSeq
+    pages
+      .groupBy(normalizeUrl(col(urlCol)).as("url_norm"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(tsCol), col(idCol))).as("w"))
+      .select(col("url_norm") +: cols.map(c => col(s"w.$c").as(c)): _*)
+  }
+}

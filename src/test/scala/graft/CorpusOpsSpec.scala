@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Decontaminate, Privacy, UrlOps}
+import graft.dedup.Dedup
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PII stats and redaction: counts, placeholders, ordering") {
+    val df = Seq(
+      (1L, "mail a.b+c@foo-bar.co.uk now, or call 555-123-4567; host 192.168.0.1."),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.org, ip 10.0.0.255"),
+      (4L, "dashed-but-not-phone 12-345-6789 and 1234-567-8901")).toDF("id", "text")
+    val got = df.select(col("id"), Privacy.piiStats(col("text")).as("p"),
+        Privacy.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1),
+          r.getStruct(1).getLong(2)), r.getString(2))).toMap
+    assert(got(1L)._1 == ((1L, 1L, 1L)))
+    assert(got(1L)._2 == "mail <EMAIL> now, or call <PHONE>; host <IP>.")
+    assert(got(2L)._1 == ((0L, 0L, 0L)) && got(2L)._2 == "no pii here at all")
+    assert(got(3L)._1 == ((2L, 1L, 0L)))
+    assert(got(3L)._2 == "two mails <EMAIL> and <EMAIL>, ip <IP>")
+    // \b anchors: wrong-width dash groups are not phones
+    assert(got(4L)._1._3 == 0L)
+  }
+
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),     // benchmark
+      (1L, "x y alpha beta gamma z"),     // shares 3-gram "alpha beta gamma"
+      (2L, "beta gamma alpha"),           // same words, no shared 3-gram
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 0L)
+    def run(bcast: Boolean) =
+      Decontaminate.flagContaminated(docs, bench, "doc_id", "text", 3, bcast)
+        .select("doc_id", "contaminated").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = Map(0L -> true, 1L -> true, 2L -> false, 3L -> false)
+    assert(run(bcast = true) == expected)
+    assert(run(bcast = false) == expected) // broadcast is a perf knob only
+  }
+
+  test("url normalization: case, fragments, default ports, root slash") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM/Path/File?Q=Mixed#Frag" ->
+        "https://www.example.com/Path/File?Q=Mixed",
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "https://a.com:8443/x" -> "https://a.com:8443/x", // non-default kept
+      "http://a.com:443/x" -> "http://a.com:443/x",     // wrong-scheme port kept
+      "https://a.com/" -> "https://a.com",
+      "https://a.com:8443/" -> "https://a.com:8443",
+      "https://a.com" -> "https://a.com",
+      "https://a.com/#top" -> "https://a.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.normalizeUrl(col("u"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (e, g) => assert(g == e, s"$g vs $e") }
+  }
+
+  test("latest snapshot keeps the max-ts row per normalized url, ties by id") {
+    val pages = Seq(
+      (1L, "https://A.com/p#x", 10L, "v1"),
+      (2L, "https://a.com/p", 30L, "v3"),      // winner for a.com/p
+      (3L, "https://a.COM:443/p#y", 20L, "v2"),
+      (4L, "https://b.com/q", 5L, "w1"),
+      (5L, "https://b.com/q#z", 5L, "w2"))     // ts tie -> max id wins
+      .toDF("doc_id", "url", "warc_ts", "payload")
+    val got = UrlOps.latestSnapshot(pages, "url", "warc_ts", "doc_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(4)))).toMap
+    assert(got == Map(
+      "https://a.com/p" -> ((2L, "v3")),
+      "https://b.com/q" -> ((5L, "w2"))))
+  }
+
+  test("paragraph dedup keeps the globally first occurrence and reassembles in order") {
+    val docs = Seq(
+      (1L, "boiler\nunique one\nboiler"),   // in-doc repeat also deduped
+      (2L, "unique two\nboiler"),           // boiler first seen in doc 1
+      (3L, "boiler"),                       // fully deduplicated
+      (4L, " \n\nunique four\n ")).toDF("doc_id", "text") // blank paras dropped
+    val got = Dedup.dedupParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (("boiler\nunique one", 2L)),
+      2L -> (("unique two", 1L)),
+      3L -> (("", 0L)),
+      4L -> (("unique four", 1L))))
+  }
+}
