@@ -442,6 +442,13 @@ object SparkEntry {
         .select(col("vid"), (col("vid") % 25).as("part"))
       graft.core.Graph.contract(e, m)
     }),
+    "q_stratified_sample" -> ((s, dir) =>
+      // training-mix re-weighting: keep-all src0, half src1, quarter src2,
+      // 10% everything else — deterministic hash thresholds per stratum
+      graft.text.Curation.stratifiedSample(documents(s, dir), col("source"),
+          col("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
+        .select(col("doc_id"))),
     "q_pii" -> ((s, dir) => {
       // deterministic PII injection (email, IPv4, phone, arithmetic per
       // doc); BOTH engines then run their real regex engine over the same
@@ -1530,6 +1537,11 @@ object SparkEntry {
       WITH e AS ($SqlEMOD)
       SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight
       FROM e WHERE src % 25 != dst % 25 GROUP BY 1, 2""",
+    "q_stratified_sample" -> """
+      SELECT doc_id FROM documents
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < FLOOR(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 0.25 ELSE 0.1 END * 4294967296.0)""",
     "q_pii" -> s"""
       WITH t AS (SELECT doc_id,
         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'

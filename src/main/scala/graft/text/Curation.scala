@@ -62,6 +62,11 @@ object Curation {
       .filter(col("__r2") <= k).drop("__r2")
   }
 
+  /** Position of the id's hash in [0, 2^32) — the shared deterministic
+   * uniform variate behind every sampling operator here. */
+  def hashPosition(id: Column): Column =
+    conv(substring(hashRank(id), 1, 8), 16, 10).cast("long")
+
   /**
    * Deterministic Bernoulli sample: keeps a row iff the first 8 hex chars
    * of md5(id) (as a 32-bit value) fall under `fraction` of the hash space.
@@ -69,7 +74,35 @@ object Curation {
    */
   def hashSample(df: DataFrame, id: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    val bucket = conv(substring(hashRank(id), 1, 8), 16, 10).cast("long")
-    df.filter(bucket < lit((fraction * 4294967296.0).toLong))
+    df.filter(hashPosition(id) < lit((fraction * 4294967296.0).toLong))
+  }
+
+  /**
+   * Deterministic PER-ROW weighted Bernoulli: keeps a row iff its hash
+   * position falls under `weight`·2^32 (floor semantics — the threshold is
+   * truncated to a long on both engines, so the boundary row set is exact).
+   * `weight` is any Column in [0,1] — a quality score, a per-language
+   * mixture rate, an upsampling temperature — making this the one-pass
+   * quality-weighted subsample of a training corpus. Pure codegen'd filter:
+   * no shuffle, stable under re-runs and re-partitioning.
+   */
+  def sampleByWeight(df: DataFrame, id: Column, weight: Column): DataFrame =
+    df.filter(hashPosition(id) < (weight * lit(4294967296.0)).cast("long"))
+
+  /**
+   * Deterministic stratified sample: one keep-fraction per `key` value
+   * (source / language / quality bucket), `default` for unlisted keys —
+   * the mixture re-weighting step that turns a raw crawl into a training
+   * mix with target per-source proportions.
+   */
+  def stratifiedSample(df: DataFrame, key: Column, id: Column,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0): DataFrame = {
+    require((default +: fractions.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      "every fraction must be in [0,1]")
+    val w = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(key === lit(k), lit(f)).otherwise(acc)
+    }
+    sampleByWeight(df, id, w)
   }
 }

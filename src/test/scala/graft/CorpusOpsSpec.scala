@@ -75,6 +75,32 @@ class CorpusOpsSpec extends SparkSpec {
       "https://b.com/q" -> ((5L, "w2"))))
   }
 
+  test("weighted/stratified sampling: deterministic, floor-thresholded, stratum rates") {
+    import graft.text.Curation
+    val df = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    // weight 1.0 keeps everything, 0.0 keeps nothing
+    assert(Curation.sampleByWeight(df, col("id"), lit(1.0)).count() == 2000)
+    assert(Curation.sampleByWeight(df, col("id"), lit(0.0)).count() == 0)
+    // per-row weight agrees with constant-fraction hashSample on each stratum
+    val strat = Curation.stratifiedSample(df, col("source"), col("id"),
+      Map("src0" -> 1.0, "src1" -> 0.5), default = 0.25)
+    val bySrc = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 500)
+    def expect(src: String, f: Double) =
+      Curation.hashSample(df.filter(col("source") === src), col("id"), f)
+        .count()
+    assert(bySrc("src1") == expect("src1", 0.5))
+    assert(bySrc.getOrElse("src2", 0L) == expect("src2", 0.25))
+    assert(bySrc.getOrElse("src3", 0L) == expect("src3", 0.25))
+    // deterministic: same ids survive under different partitioning
+    val a = strat.select("id").collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(df.repartition(13), col("source"),
+      col("id"), Map("src0" -> 1.0, "src1" -> 0.5), default = 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("paragraph dedup keeps the globally first occurrence and reassembles in order") {
     val docs = Seq(
       (1L, "boiler\nunique one\nboiler"),   // in-doc repeat also deduped
