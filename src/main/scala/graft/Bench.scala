@@ -80,7 +80,14 @@ object Bench {
     "q_mis", "q_matching", "q_msf",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality",
-    "q_event_windows", "q_sessionize", "q_ngram_jaccard")
+    "q_event_windows", "q_sessionize", "q_ngram_jaccard",
+    // round-3 batch 2: corpus-curation surface — the map-only passes
+    // (q_pii, q_url_norm, q_stratified_sample) should bench at scan speed
+    // like the q_token_stats family; q_latest_snapshot adds one max_by
+    // aggregation, q_decontaminate a broadcast semi-join, and
+    // q_dedup_paragraphs the full explode → min(struct) → reassemble chain
+    "q_pii", "q_url_norm", "q_stratified_sample", "q_latest_snapshot",
+    "q_decontaminate", "q_dedup_paragraphs")
 
   private val HeadlinePasses = 3
 

@@ -442,6 +442,11 @@ object SparkEntry {
         .select(col("vid"), (col("vid") % 25).as("part"))
       graft.core.Graph.contract(e, m)
     }),
+    "q_sample_edges" -> ((s, dir) =>
+      graft.core.Graph.sampleEdges(eMOD(s, dir), 0.3)),
+    "q_sample_vertices" -> ((s, dir) =>
+      // induced node sample: an edge survives iff BOTH endpoint hashes pass
+      graft.core.Graph.sampleVerticesInduced(eMOD(s, dir), 0.5)),
     "q_stratified_sample" -> ((s, dir) =>
       // training-mix re-weighting: keep-all src0, half src1, quarter src2,
       // 10% everything else — deterministic hash thresholds per stratum
@@ -1537,6 +1542,19 @@ object SparkEntry {
       WITH e AS ($SqlEMOD)
       SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight
       FROM e WHERE src % 25 != dst % 25 GROUP BY 1, 2""",
+    "q_sample_edges" -> s"""
+      WITH e AS ($SqlEMOD)
+      SELECT src, dst FROM e
+      WHERE CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '_'
+              || CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT)
+        < ${(0.3 * 4294967296.0).toLong}""",
+    "q_sample_vertices" -> s"""
+      WITH e AS ($SqlEMOD)
+      SELECT src, dst FROM e
+      WHERE CAST(('0x' || substring(md5(CAST(src AS VARCHAR)), 1, 8)) AS BIGINT)
+          < ${(0.5 * 4294967296.0).toLong}
+        AND CAST(('0x' || substring(md5(CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT)
+          < ${(0.5 * 4294967296.0).toLong}""",
     "q_stratified_sample" -> """
       SELECT doc_id FROM documents
       WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -94,6 +94,40 @@ object Graph {
     edges
       .join(k.withColumnRenamed(VID, "__ks"), col(SRC) === col("__ks"), "left_semi")
       .join(k.withColumnRenamed(VID, "__kd"), col(DST) === col("__kd"), "left_semi")
+  }
+
+  /** Deterministic hash position of a value in [0, 2^32) — the same
+   * cross-engine md5 family as `text.Curation.hashRank`, inlined here so
+   * the graph layer carries no text-package dependency. */
+  private def hashPos(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /**
+   * Deterministic edge sample: keeps an edge iff the hash of its
+   * "src_dst" string form falls under `fraction` of the hash space —
+   * reproducible approximate analytics on a fixed subgraph (same rows
+   * survive every run, every partitioning, every engine). Pure codegen'd
+   * filter, no shuffle.
+   */
+  def sampleEdges(edges: DataFrame, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    edges.filter(
+      hashPos(concat(col(SRC).cast("string"), lit("_"), col(DST).cast("string")))
+        < lit((fraction * 4294967296.0).toLong))
+  }
+
+  /**
+   * Deterministic induced-subgraph sample: keeps each VERTEX with
+   * probability `fraction` by vid hash, then the subgraph induced on the
+   * kept set (an edge survives iff BOTH endpoints are kept — expected edge
+   * retention fraction² on independent endpoints). The standard
+   * node-sampling estimator for degree/clustering statistics at scale.
+   */
+  def sampleVerticesInduced(edges: DataFrame, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    val kept = vertices(edges)
+      .filter(hashPos(col(VID)) < lit((fraction * 4294967296.0).toLong))
+    subgraph(edges, kept)
   }
 
   /** Deterministic vertex relabeling (random-looking but seeded) —

@@ -173,6 +173,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
   }
 
+  test("deterministic graph sampling: edge and induced-vertex variants") {
+    val e = (0L until 400L).map(i => (i % 97, (i * 7 + 3) % 97)).toDF("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct()
+    val n = e.count()
+    // fraction 1 keeps everything, 0 keeps nothing; sample is a subset
+    assert(Graph.sampleEdges(e, 1.0).count() == n)
+    assert(Graph.sampleEdges(e, 0.0).count() == 0)
+    val s = Graph.sampleEdges(e, 0.3)
+    assert(s.count() > 0 && s.count() < n)
+    assert(s.except(e).count() == 0)
+    // partitioning-invariant (deterministic hash, no RNG)
+    val a = s.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.sampleEdges(e.repartition(11), 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // induced sample: surviving edges have BOTH endpoints in the kept set,
+    // and every edge between two kept vertices survives
+    val sv = Graph.sampleVerticesInduced(e, 0.5)
+    val keptV = sv.select(col("src").as("vid"))
+      .union(sv.select(col("dst"))).distinct()
+    assert(Graph.subgraph(e, keptV).except(sv).count() == 0)
+    assert(sv.except(e).count() == 0)
+  }
+
   test("contract: quotient graph aggregates collapsed edge multiplicity") {
     val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
     val m = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("vid", "part")
