@@ -442,6 +442,12 @@ object SparkEntry {
         .select(col("vid"), (col("vid") % 25).as("part"))
       graft.core.Graph.contract(e, m)
     }),
+    "q_louvain" -> ((s, dir) =>
+      // synchronous parity-gated Louvain local moves, 3 rounds (the full
+      // multilevel run with contraction is exact-parity-tested in
+      // LouvainSpec against a driver-side reference)
+      graft.alg.Louvain.localMoves(
+        graft.alg.Louvain.symmetrize(eMOD(s, dir)), rounds = 3)),
     "q_sample_edges" -> ((s, dir) =>
       graft.core.Graph.sampleEdges(eMOD(s, dir), 0.3)),
     "q_sample_vertices" -> ((s, dir) =>
@@ -902,6 +908,42 @@ object SparkEntry {
    * label = argmax_l with ROUND(p, 12) comparison, ties → lowest l — the SQL
    * mirror of `LabelPropagation.labelRank`'s argmax (the rounding collapses
    * cross-engine summation-order ulp noise on exact structural ties). */
+  /** Unrolled synchronous Louvain local moves: per round, community
+   * totals → neighbor-community weights → rounded ΔQ-proportional score →
+   * argmax (score desc, cand asc) → parity-gated update. Mirrors
+   * `alg.Louvain.moveRound` term for term (round-9 comparator). */
+  private def louvainSql(rounds: Int): String = {
+    def one(r: Int): String = s"""
+      a$r AS (SELECT s.comm AS cand, SUM(d.deg) AS a
+              FROM s$r s JOIN deg d USING (vid) GROUP BY 1),
+      ev$r AS (SELECT u.src AS vid, s.comm AS cand, CAST(COUNT(*) AS DOUBLE) AS e
+               FROM und u JOIN s$r s ON s.vid = u.dst GROUP BY 1, 2),
+      cand$r AS (SELECT vid, cand, SUM(e) AS e FROM (
+                   SELECT vid, cand, e FROM ev$r
+                   UNION ALL SELECT vid, comm AS cand, 0.0 AS e FROM s$r)
+                 GROUP BY 1, 2),
+      sc$r AS (SELECT c.vid, c.cand,
+                ROUND(c.e - d.deg *
+                  (a.a - CASE WHEN c.cand = s.comm THEN d.deg ELSE 0.0 END)
+                  / (SELECT twom FROM m), 9) AS score
+               FROM cand$r c JOIN s$r s USING (vid) JOIN deg d USING (vid)
+                 JOIN a$r a USING (cand)),
+      b$r AS (SELECT vid, cand, row_number() OVER (
+                PARTITION BY vid ORDER BY score DESC, cand ASC) AS rn
+              FROM sc$r),
+      s${r + 1} AS (SELECT s.vid,
+                CASE WHEN s.vid % 2 = ${r % 2} THEN b.cand ELSE s.comm END AS comm
+              FROM s$r s JOIN b$r b ON b.vid = s.vid AND b.rn = 1)"""
+    s"""
+      WITH e AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+      deg AS (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY 1),
+      m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS twom FROM und),
+      s0 AS (SELECT vid, vid AS comm FROM deg),
+      ${(0 until rounds).map(one).mkString(",")}
+      SELECT vid, comm FROM s$rounds"""
+  }
+
   private def labelRankSql(iterations: Int): String = {
     val init = s"""
       WITH eb AS MATERIALIZED (
@@ -1542,6 +1584,7 @@ object SparkEntry {
       WITH e AS ($SqlEMOD)
       SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight
       FROM e WHERE src % 25 != dst % 25 GROUP BY 1, 2""",
+    "q_louvain" -> louvainSql(3),
     "q_sample_edges" -> s"""
       WITH e AS ($SqlEMOD)
       SELECT src, dst FROM e
