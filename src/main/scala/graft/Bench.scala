@@ -87,7 +87,9 @@ object Bench {
     // aggregation, q_decontaminate a broadcast semi-join, and
     // q_dedup_paragraphs the full explode → min(struct) → reassemble chain
     "q_pii", "q_url_norm", "q_stratified_sample", "q_latest_snapshot",
-    "q_decontaminate", "q_dedup_paragraphs")
+    "q_decontaminate", "q_dedup_paragraphs",
+    // 3-round Louvain local moves on the modular graph (LabelRank-class)
+    "q_louvain")
 
   private val HeadlinePasses = 3
 
