@@ -442,6 +442,26 @@ object SparkEntry {
         .select(col("vid"), (col("vid") % 25).as("part"))
       graft.core.Graph.contract(e, m)
     }),
+    "q_host_rank" -> ((s, dir) => {
+      // the north-star pipeline end to end: synthetic crawl → href
+      // extraction → weighted host graph → WEIGHTED PageRank over host
+      // strings (no integer relabeling needed)
+      val d = documents(s, dir)
+      val n = d.count()
+      def link(j: Int): Column = {
+        val t = (col("doc_id") * 31 + lit(17 * j + 7)) % n
+        concat(lit("<a href=\"https://src"), (t % 20).cast("string"),
+          lit(".example.org/d/"), t.cast("string"), lit("\">x</a>"))
+      }
+      val pages = d.select(
+        concat(lit("https://"), col("source"), lit(".example.org/d/"),
+          col("doc_id")).as("url"),
+        concat(link(0), link(1), link(2)).cast("binary").as("html"))
+      val hg = graft.text.EdgeExtract.hostGraph(pages)
+        .select(col("src_host").as("src"), col("dst_host").as("dst"), col("weight"))
+      graft.alg.PageRank.runWeighted(hg).ranks
+        .select(col("vid").as("host"), round(col("rank"), 6).as("rank"))
+    }),
     "q_louvain" -> ((s, dir) =>
       // synchronous parity-gated Louvain local moves, 3 rounds (the full
       // multilevel run with contraction is exact-parity-tested in
@@ -908,6 +928,41 @@ object SparkEntry {
    * label = argmax_l with ROUND(p, 12) comparison, ties → lowest l — the SQL
    * mirror of `LabelPropagation.labelRank`'s argmax (the rounding collapses
    * cross-engine summation-order ulp noise on exact structural ties). */
+  /** Weighted PageRank over the arithmetic host graph, 5 rounds unrolled —
+   * [[pagerankSql]] with weighted out-degree and Σ stored·w mailboxes,
+   * string vertex ids. */
+  private def hostRankSql: String = {
+    val init = """
+      WITH l AS (
+        SELECT 'src' || CAST(d.doc_id % 20 AS VARCHAR) || '.example.org' AS src_host,
+               'src' || CAST(((d.doc_id * 31 + 17 * j.j + 7)
+                              % (SELECT COUNT(*) FROM documents)) % 20 AS VARCHAR)
+                 || '.example.org' AS dst_host
+        FROM documents d, UNNEST([0, 1, 2]) AS j(j)),
+      e AS (SELECT src_host AS src, dst_host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+            FROM l WHERE src_host != dst_host GROUP BY 1, 2),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      nv AS (SELECT COUNT(*) AS n FROM v),
+      dg AS (SELECT src AS vid, SUM(w) AS wdeg FROM e GROUP BY src),
+      vd AS (SELECT v.vid, COALESCE(dg.wdeg, 0.0) AS wdeg FROM v LEFT JOIN dg ON v.vid = dg.vid),
+      r0 AS (SELECT vid, wdeg, 1.0 / (SELECT n FROM nv) AS stored FROM vd)"""
+    val rounds = (1 to 5).map { k =>
+      val divide =
+        if (k < 5) s"CASE WHEN t$k.wdeg > 0 THEN t$k.value / t$k.wdeg ELSE t$k.value END"
+        else s"t$k.value"
+      s"""
+      , t$k AS (
+        SELECT vd.vid, vd.wdeg,
+          (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * COALESCE(s.m, 0.0) AS value
+        FROM vd LEFT JOIN (
+          SELECT e.dst AS vid, SUM(p.stored * e.w) AS m
+          FROM e JOIN r${k - 1} p ON e.src = p.vid GROUP BY e.dst
+        ) s ON vd.vid = s.vid)
+      , r$k AS (SELECT vid, wdeg, $divide AS stored FROM t$k)"""
+    }.mkString
+    init + rounds + "\n      SELECT vid AS host, ROUND(stored, 6) AS rank FROM r5"
+  }
+
   /** Unrolled synchronous Louvain local moves: per round, community
    * totals → neighbor-community weights → rounded ΔQ-proportional score →
    * argmax (score desc, cand asc) → parity-gated update. Mirrors
@@ -1585,6 +1640,7 @@ object SparkEntry {
       SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight
       FROM e WHERE src % 25 != dst % 25 GROUP BY 1, 2""",
     "q_louvain" -> louvainSql(3),
+    "q_host_rank" -> hostRankSql,
     "q_sample_edges" -> s"""
       WITH e AS ($SqlEMOD)
       SELECT src, dst FROM e

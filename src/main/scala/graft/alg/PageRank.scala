@@ -88,6 +88,65 @@ object PageRank {
   }
 
   /**
+   * WEIGHTED PageRank over an edge table carrying a `weight` column — the
+   * natural rank for quotient graphs like [[graft.text.EdgeExtract.hostGraph]]
+   * output, where an edge's weight is the number of collapsed page links.
+   * Semantics generalize [[run]]'s reference-exact rules by replacing
+   * out-degree with WEIGHTED out-degree and the mailbox sum with
+   * Σ stored(u)·w(u→v): with all weights 1 the two are identical, round
+   * for round (the stored-pre-divided quirk included).
+   *
+   * Scatter goes through the weighted edge table directly (hash-partitioned
+   * once by src, persisted) rather than the chunked adjacency — weight
+   * rides the edge row; the per-superstep plan is the same single
+   * map-side-combined Exchange. Vertex ids may be any equality-comparable
+   * type (host strings included).
+   */
+  def runWeighted(wedges: DataFrame,
+                  rounds: Int = 5,
+                  damping: Double = 0.85,
+                  verbose: Boolean = false): Result = {
+    val w = wedges
+      .select(col(Graph.SRC), col(Graph.DST), col("weight").cast("double").as("w"))
+      .repartition(col(Graph.SRC))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(w).persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verts.count()
+    val e = w.count()
+    val base = (1.0 - damping) / v
+    val wdeg = verts
+      .join(w.groupBy(col(Graph.SRC).as(Graph.VID)).agg(sum("w").as("wdeg")),
+        Seq(Graph.VID), "left")
+      .select(col(Graph.VID), coalesce(col("wdeg"), lit(0.0)).as("wdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    wdeg.count()
+
+    val init = verts.select(col(Graph.VID), lit(1.0 / v).as("stored"))
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = rounds, verbose = verbose)) { (state, superstep) =>
+      val msgs = w.join(state.hint("shuffle_hash"), w(Graph.SRC) === state(Graph.VID))
+        .select(col(Graph.DST).as(Graph.VID), (col("stored") * col("w")).as("c"))
+        .groupBy(Graph.VID)
+        .agg(sum("c").as("mbox"))
+      val updated = wdeg
+        .join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
+        .select(col(Graph.VID), col("wdeg"),
+          (lit(base) + lit(damping) * coalesce(col("mbox"), lit(0.0))).as("value"))
+      val next =
+        if (superstep == rounds)
+          updated.select(col(Graph.VID), col("value").as("stored"))
+        else
+          updated.select(col(Graph.VID),
+            when(col("wdeg") > 0, col("value") / col("wdeg"))
+              .otherwise(col("value")).as("stored"))
+      StepResult(next, edgesTraversed = e, converged = superstep == rounds)
+    }
+    w.unpersist(blocking = false); wdeg.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    Result(outcome.state.select(col(Graph.VID), col("stored").as("rank")), outcome.metrics)
+  }
+
+  /**
    * Personalized PageRank (random walk with restart to a seed set) — a
    * link-graph extension beyond the reference (`totem_page_rank.cu` has only
    * the global variant): textbook semantics

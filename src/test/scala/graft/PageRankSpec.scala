@@ -90,4 +90,28 @@ class PageRankSpec extends SparkSpec {
     assert(r(2L) == 0.0 && r(3L) == 0.0, "disconnected component must stay at 0")
     assert(r(0L) > 0 && r(1L) > 0)
   }
+
+  test("weighted: unit weights reproduce the unweighted reference semantics exactly") {
+    val edges = graft.gen.GraphGen.rmat(spark, 8, 8, seed = 11)
+    val unweighted = toMap[Double](PageRank.run(edges).ranks)
+    val weighted = toMap[Double](PageRank.runWeighted(
+      edges.withColumn("weight", lit(1L))).ranks)
+    assert(unweighted.keySet == weighted.keySet)
+    unweighted.foreach { case (v, r) =>
+      assert(math.abs(weighted(v) - r) < 1e-12, s"vid=$v: ${weighted(v)} vs $r")
+    }
+  }
+
+  test("weighted: hand-computed 1 round with uneven weights, string vids") {
+    // a→b (w=3), a→c (w=1): wdeg(a)=4; stored after init = 1/3 each.
+    // round 1 (final, undivided): value(b) = 0.05 + 0.85·(1/3·3) = 0.9
+    //   wait — stored is 1/3, mailbox(b) = 1/3·3 = 1.0 → 0.05 + 0.85 = 0.9
+    //   mailbox(c) = 1/3·1 → 0.05 + 0.85/3; mailbox(a) = 0 → 0.05
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "weight")
+    val r = PageRank.runWeighted(edges, rounds = 1).ranks.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.05) < 1e-12)
+    assert(math.abs(r("b") - 0.9) < 1e-12)
+    assert(math.abs(r("c") - (0.05 + 0.85 / 3.0)) < 1e-12)
+  }
 }
