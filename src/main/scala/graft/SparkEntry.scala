@@ -638,6 +638,21 @@ object SparkEntry {
     "q_embed_top_pairs" -> ((s, dir) => {
       val pairs = graft.ann.Ann.bruteForceNearDupPairs(embeddings(s, dir), threshold = -2.0)
       pairs.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(50)
+    }),
+    "q_kmeans" -> ((s, dir) => {
+      // Lloyd k-means over the embedding corpus (k=4, 3 fixed iterations,
+      // deterministic lowest-id init); the DuckDB oracle unrolls the exact
+      // rounded float path (dist2 @9 with cid tiebreak, centroids @6)
+      val m = graft.ann.KMeans.run(embeddings(s, dir), k = 4, iters = 3)
+      m.assignments.select(col("vec_id"), col("cid").cast("long").as("cid"), col("dist2"))
+    }),
+    "q_cluster_sample" -> ((s, dir) => {
+      // cluster-balanced curation sample: 25 hash-ranked points per k-means
+      // cluster — the anti-mode-collapse sampling move for a training mix
+      val m = graft.ann.KMeans.run(embeddings(s, dir), k = 4, iters = 3)
+      graft.ann.KMeans.clusterSample(m.assignments, perCluster = 25)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("rank").cast("long").as("rnk"))
     })
   )
 
@@ -1457,6 +1472,56 @@ object SparkEntry {
     )
     SELECT id_a, id_b, sim FROM scored ORDER BY sim DESC, id_a, id_b LIMIT 50"""
 
+  /** Shared unrolled-Lloyd CTE chain: p/x/c0, then per iteration i the
+   * assignment a_i (vs c_{i-1}), the rounded centroid update m_i/c_i, and
+   * a final assignment `afinal` vs c_iters — the exact float path of
+   * [[graft.ann.KMeans.run]] (dist2 rounded @9, cid tiebreak, centroids
+   * rounded @6, emptied clusters keep their previous center). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def d2(p: String, c: String) =
+      s"ROUND(list_dot_product($p.e, $p.e) - 2*list_dot_product($p.e, $c.ctr) + " +
+        s"list_dot_product($c.ctr, $c.ctr), 9)"
+    def assign(name: String, from: String) = s"""
+      $name AS MATERIALIZED (
+        SELECT vec_id, cid, dist2 FROM (
+          SELECT p.vec_id, c.cid, ${d2("p", "c")} AS dist2,
+            ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                               ORDER BY ${d2("p", "c")}, c.cid) AS rn
+          FROM p CROSS JOIN $from c) t WHERE rn = 1)"""
+    def update(i: Int) = s"""
+      m$i AS (
+        SELECT a.cid, x.pos, ROUND(AVG(x.val), 6) AS v
+        FROM a$i a JOIN x USING (vec_id) GROUP BY a.cid, x.pos),
+      c$i AS MATERIALIZED (
+        SELECT c.cid, COALESCE(n.ctr, c.ctr) AS ctr FROM c${i - 1} c
+        LEFT JOIN (SELECT cid, list(v ORDER BY pos) AS ctr
+                   FROM m$i GROUP BY cid) n USING (cid))"""
+    val rounds = (1 to iters)
+      .map(i => assign(s"a$i", s"c${i - 1}") + "," + update(i)).mkString(",")
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      x AS MATERIALIZED (
+        SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM p),
+      c0 AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ctr
+        FROM (SELECT vec_id, e FROM p ORDER BY vec_id LIMIT $k)),
+      $rounds,
+      ${assign("afinal", s"c$iters")}"""
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    s"""${kmeansCtes(k, iters)}
+      SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2 FROM afinal"""
+
+  private def clusterSampleSql(k: Int, iters: Int, perCluster: Int): String =
+    s"""${kmeansCtes(k, iters)}
+      SELECT vec_id, cid, rnk FROM (
+        SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+          ROW_NUMBER() OVER (PARTITION BY cid
+                             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        FROM afinal) t WHERE rnk <= $perCluster"""
+
   def oracleSql: Map[String, String] = Map(
     "q_out_degree" ->
       s"SELECT src AS vid, COUNT(*) AS deg FROM ($SqlEPS) GROUP BY src",
@@ -1720,6 +1785,8 @@ object SparkEntry {
     "q_minhash_sig" -> minhashSigSql,
     "q_ann_topk" -> annTopkSql,
     "q_embed_top_pairs" -> embedTopPairsSql,
+    "q_kmeans" -> kmeansSql(k = 4, iters = 3),
+    "q_cluster_sample" -> clusterSampleSql(k = 4, iters = 3, perCluster = 25),
     "q_bfs_tree" -> bfsTreeSql,
     "q_majority_lpa" -> majorityLpaSql(iterations = 5),
     "q_label_prop" -> labelRankSql(iterations = 4),
