@@ -352,6 +352,13 @@ object SparkEntry {
       // reproducible DeepWalk-style corpus sampler; all 500 walks advance
       // in lockstep supersteps
       graft.alg.RandomWalk.walksFromAll(eMOD(s, dir), length = 8, seed = 42L)),
+    "q_node2vec" -> ((s, dir) =>
+      // second-order biased walks (p=2 return-averse, q=0.5 local) from
+      // every vertex — the node2vec corpus sampler; the oracle unrolls the
+      // exact inverse-CDF draw with dyadic weights per step
+      graft.alg.RandomWalk.biasedWalks(eMOD(s, dir),
+        graft.core.Graph.vertices(eMOD(s, dir)), length = 6,
+        p = 2.0, q = 0.5, seed = 42L)),
 
     // ---- event stream (batch = streaming plan, driver-checkable) ----
     "q_event_windows" -> ((s, dir) =>
@@ -1355,6 +1362,44 @@ object SparkEntry {
     init + steps + s"\n      $union"
   }
 
+  /** Unrolled node2vec oracle — mirrors [[graft.alg.RandomWalk.biasedWalks]]
+   * step for step: per-step candidate weights (1/p return, 1 local, 1/q
+   * explore — dyadic, so every sum is exact), running weight over neighbors
+   * ascending, and the inverse-CDF pick at t = hash48/2^48 · total. */
+  private def biasedWalkSql(length: Int, p: Double, q: Double, seed: Long): String = {
+    def hash48(alias: String, stepExpr: String): String = {
+      val md = s"md5(concat_ws('|', CAST($seed AS VARCHAR), CAST($alias.walk AS VARCHAR), $stepExpr))"
+      (1 to 12).map { j =>
+        s"(strpos('0123456789abcdef', substring($md, $j, 1)) - 1) * ${BigInt(16).pow(12 - j)}"
+      }.mkString("(", " + ", ")")
+    }
+    val init = s"""
+      WITH e AS MATERIALIZED ($SqlEMOD),
+      v AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      w0 AS MATERIALIZED (SELECT vid AS walk, vid AS prev, vid FROM v)"""
+    val steps = (1 to length).map { i =>
+      s"""
+      , c$i AS MATERIALIZED (
+          SELECT s.walk, s.vid AS cur, s.prev, e.dst AS nbr,
+            CASE WHEN e.dst = s.prev THEN ${1.0 / p}
+                 WHEN a.src IS NOT NULL THEN 1.0 ELSE ${1.0 / q} END AS wt
+          FROM w${i - 1} s JOIN e ON s.vid = e.src
+          LEFT JOIN e a ON a.src = s.prev AND a.dst = e.dst)
+      , d$i AS MATERIALIZED (
+          SELECT w.walk, w.cur, w.nbr, w.wt,
+            SUM(w.wt) OVER (PARTITION BY w.walk ORDER BY w.nbr) AS cum,
+            (CAST(${hash48("w", s"'$i'")} AS DOUBLE) / 281474976710656.0) *
+              (SUM(w.wt) OVER (PARTITION BY w.walk)) AS t
+          FROM c$i w)
+      , w$i AS MATERIALIZED (
+          SELECT walk, cur AS prev, nbr AS vid FROM d$i
+          WHERE cum > t AND cum - wt <= t)"""
+    }.mkString
+    val union = (0 to length)
+      .map(i => s"SELECT walk, $i AS step, vid FROM w$i").mkString(" UNION ALL ")
+    init + steps + s"\n      $union"
+  }
+
   /** Gap sessionization oracle (30 min): same millisecond-floor timestamps
    * as the Spark side (`Timestamp.getTime`), LAG-gap break + running sum =
    * session id. */
@@ -1821,6 +1866,7 @@ object SparkEntry {
       ORDER BY ROUND(s.common_n * 1.0 / (da.deg + db.deg - s.common_n), 6) DESC, s.a, s.b
       LIMIT 50""",
     "q_random_walk" -> randomWalkSql(length = 8, seed = 42L),
+    "q_node2vec" -> biasedWalkSql(length = 6, p = 2.0, q = 0.5, seed = 42L),
     "q_event_windows" -> """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value

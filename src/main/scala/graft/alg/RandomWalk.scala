@@ -82,4 +82,68 @@ object RandomWalk {
   /** Walks from every vertex of the graph. */
   def walksFromAll(edges: DataFrame, length: Int, seed: Long = 42L): DataFrame =
     walks(edges, Graph.vertices(edges), length, seed)
+
+  /**
+   * Second-order biased walks (node2vec, Grover & Leskovec 2016): at step
+   * `i` a walk at `cur` that arrived from `prev` weights each out-neighbor
+   * `n` by 1/p if n = prev (return), 1 if (prev, n) is an edge (stay
+   * local), 1/q otherwise (explore). The choice is the deterministic
+   * inverse-CDF draw: t = hash48(seed|walk|i)/2^48 · Σw, pick the first
+   * neighbor (ascending) whose running weight exceeds t. Step 1 has
+   * prev = start, so every candidate is "local" and the draw is uniform.
+   *
+   * Determinism across engines: p and q MUST be powers of two (default
+   * p = 2, q = 0.5 — a locally-biased walk), so every weight, running sum,
+   * and total is an exact dyadic double — summation order cannot matter —
+   * and the only rounded value, t, is computed by the identical expression
+   * on both sides. t < Σw always holds (h ≤ 2^48−1 keeps the product a
+   * half-ulp below the total), so a walk only halts at a sink.
+   *
+   * Scale shape: per step the plan touches O(frontier out-edges) rows —
+   * inherent to node2vec, which must score every neighbor against prev's
+   * adjacency (the membership probe is an edge-keyed shuffle-hash join; the
+   * running sum is a per-walk window, never global).
+   */
+  def biasedWalks(edges: DataFrame, starts: DataFrame, length: Int,
+                  p: Double = 2.0, q: Double = 0.5, seed: Long = 42L): DataFrame = {
+    def isPow2(x: Double) = { val l = math.log(x) / math.log(2); l == math.rint(l) }
+    require(isPow2(p) && isPow2(q), s"p and q must be powers of two, got p=$p q=$q")
+    val e = edges.select(col(Graph.SRC), col(Graph.DST)).distinct()
+      .repartition(col(Graph.SRC))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val member = e.select(col(Graph.SRC).as("p2"), col(Graph.DST).as("n2"),
+      lit(true).as("isadj"))
+
+    val frames = Seq.newBuilder[DataFrame]
+    var state = graft.core.Lineage.cut(starts.select(col(Graph.VID).as("walk"),
+      col(Graph.VID).as("prev"), col(Graph.VID).as(Graph.VID)))
+    frames += state.select(col("walk"), lit(0).as("step"), col(Graph.VID))
+    val byNbr = Window.partitionBy(col("walk")).orderBy(col("nbr"))
+    val whole = Window.partitionBy(col("walk"))
+    for (i <- 1 to length) {
+      val cand = state.hint("shuffle_hash")
+        .join(e, state(Graph.VID) === e(Graph.SRC))
+        .select(col("walk"), col("prev"), state(Graph.VID).as("cur"),
+          e(Graph.DST).as("nbr"))
+      val weighted = cand.hint("shuffle_hash")
+        .join(member, cand("prev") === member("p2") && cand("nbr") === member("n2"), "left")
+        .withColumn("wt",
+          when(col("nbr") === col("prev"), lit(1.0 / p))
+            .when(col("isadj"), lit(1.0))
+            .otherwise(lit(1.0 / q)))
+      val h = conv(substring(md5(concat_ws("|", lit(seed), col("walk"), lit(i))), 1, 12),
+        16, 10).cast("long")
+      val next = weighted
+        .withColumn("cum", sum(col("wt")).over(byNbr))
+        .withColumn("t", (h.cast("double") / lit(281474976710656.0)) *
+          sum(col("wt")).over(whole))
+        .filter(col("cum") > col("t") && col("cum") - col("wt") <= col("t"))
+        .select(col("walk"), col("cur").as("prev"), col("nbr").as(Graph.VID))
+      state = graft.core.Lineage.cut(next)
+      frames += state.select(col("walk"), lit(i).as("step"), col(Graph.VID))
+    }
+    e.unpersist(blocking = false)
+    frames.result().reduce(_.unionByName(_))
+  }
 }

@@ -56,6 +56,76 @@ class RandomWalkSpec extends SparkSpec {
     assert(rows(RandomWalk.walksFromAll(g, length = 6, seed = seed)) == expected.toSet)
   }
 
+  test("biased walks match a driver-side node2vec inverse-CDF oracle") {
+    val g = GraphGen.uniform(spark, 15, 80, seed = 5).cache()
+    val edges = g.select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.groupMap(_._1)(_._2).view.mapValues(_.toSeq.sorted).toMap
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    val (p, q, seed, len) = (2.0, 0.5, 42L, 5)
+    val expected = scala.collection.mutable.Set[(Long, Int, Long)]()
+    for (w <- verts) {
+      var prev = w; var cur = w
+      expected += ((w, 0, w))
+      var step = 1; var alive = true
+      while (alive && step <= len) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val wts = nbrs.map { n =>
+              if (n == prev) 1.0 / p
+              else if (edges.contains((prev, n))) 1.0 else 1.0 / q
+            }
+            val tot = wts.sum // exact: dyadic weights
+            val h = BigInt(md5hex(s"$seed|$w|$step").take(12), 16).toLong
+            val t = (h.toDouble / 281474976710656.0) * tot
+            var cum = 0.0; var pick = -1
+            for (j <- nbrs.indices if pick < 0) {
+              cum += wts(j); if (cum > t) pick = j
+            }
+            prev = cur; cur = nbrs(pick)
+            expected += ((w, step, cur))
+            step += 1
+          case None => alive = false
+        }
+      }
+    }
+    val got = rows(RandomWalk.biasedWalks(g, graft.core.Graph.vertices(g),
+      length = len, p = p, q = q, seed = seed))
+    assert(got == expected.toSet)
+  }
+
+  test("biased walks: hand-checkable weight logic on a 4-vertex gadget") {
+    // 0 -> 1; from 1: neighbors {0 (return, w=1/p), 2 (local: 0->2 edge,
+    // w=1), 3 (explore, w=1/q)}. With p=2, q=0.5: wts (0.5, 1, 2), tot 3.5,
+    // ascending-neighbor cums: 0:0.5, 2:1.5, 3:3.5.
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = RandomWalk.biasedWalks(g, Seq(0L).toDF("vid"), length = 2,
+      p = 2.0, q = 0.5, seed = 11L).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    // step 1 from 0 is uniform over {1, 2}
+    val h1 = BigInt(md5hex("11|0|1").take(12), 16).toLong
+    val t1 = (h1.toDouble / 281474976710656.0) * 2.0
+    val s1 = if (t1 < 1.0) 1L else 2L
+    assert(out(1) == s1)
+    if (s1 == 1L) {
+      val h2 = BigInt(md5hex("11|0|2").take(12), 16).toLong
+      val t2 = (h2.toDouble / 281474976710656.0) * 3.5
+      val s2 = if (t2 < 0.5) 0L else if (t2 < 1.5) 2L else 3L
+      assert(out(2) == s2)
+    }
+  }
+
+  test("biased walks: determinism and p/q validation") {
+    val g = GraphGen.uniform(spark, 12, 50, seed = 9).cache()
+    val v = graft.core.Graph.vertices(g)
+    val a = rows(RandomWalk.biasedWalks(g, v, length = 4, seed = 3L))
+    val b = rows(RandomWalk.biasedWalks(g, v, length = 4, seed = 3L))
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      RandomWalk.biasedWalks(g, v, length = 2, p = 3.0, q = 0.5)
+    }
+  }
+
   test("hub chunking: the indexed neighbor is correct across chunk boundaries") {
     // star hub with 10 spokes, chunkSize=4 -> 3 chunks; every walk from the
     // hub must land on the hash-indexed spoke regardless of which chunk
