@@ -89,7 +89,10 @@ object Bench {
     "q_pii", "q_url_norm", "q_stratified_sample", "q_latest_snapshot",
     "q_decontaminate", "q_dedup_paragraphs",
     // 3-round Louvain local moves on the modular graph (LabelRank-class)
-    "q_louvain")
+    "q_louvain",
+    // embedding clustering (driver-held centers, one codegen'd argmin pass
+    // + capped-update shuffle) and second-order biased walk sampling
+    "q_kmeans", "q_node2vec")
 
   private val HeadlinePasses = 3
 

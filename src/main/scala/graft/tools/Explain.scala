@@ -137,6 +137,55 @@ object Explain {
       .select(col("c"), col("__pp").as("p"), (col("p") =!= col("__pp")).as("__ch"))
       .explain("formatted")
 
+    println("==== k-means assign pass: literal centers, argmin projection (no join) ====")
+    // mirrors KMeans.assign: centers are driver-held literals folded into a
+    // least(struct...) projection — the whole assign step is one narrow
+    // codegen'd pass, no exchange
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val ctrs = Array.fill(4)(Array.tabulate(64)(_.toDouble / 64))
+    val selfDot = aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val scoredC = ctrs.zipWithIndex.map { case (c, i) =>
+      val dotC = aggregate(zip_with(col("e"), lit(c), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      struct(round(selfDot - lit(2.0) * dotC + lit(c.map(x => x * x).sum), 9).as("dist2"),
+        lit(i).as("cid"))
+    }
+    emb.select(col("vec_id"), least(scoredC: _*).getField("cid").as("cid"))
+      .explain("formatted")
+
+    println("==== k-means update: posexplode -> partial-agg-capped groupBy(cid,pos) ====")
+    emb.select(lit(0).as("cid"), posexplode(col("e")))
+      .groupBy("cid", "pos").agg(round(avg(col("col")), 6).as("v"))
+      .explain("formatted")
+
+    println("==== node2vec step: candidates ⋈ membership probe -> per-walk windows ====")
+    // mirrors one RandomWalk.biasedWalks step: O(frontier out-edges) rows,
+    // membership = edge-keyed shuffle-hash left join, per-walk window sums
+    val e2 = edges.select("src", "dst").distinct().repartition(col("src")).persist()
+    e2.count()
+    // the real loop's state is a Lineage.cut frame (fresh attributes);
+    // mirror that here or the membership probe is an ambiguous self-join
+    val st = graft.core.Lineage.cut(Graph.vertices(edges).limit(500)
+      .select(col("vid").as("walk"), col("vid").as("prev"), col("vid")))
+    val member = e2.select(col("src").as("p2"), col("dst").as("n2"), lit(true).as("isadj"))
+    val cand2 = st.hint("shuffle_hash").join(e2, st("vid") === e2("src"))
+      .select(col("walk"), col("prev"), st("vid").as("cur"), e2("dst").as("nbr"))
+    val weighted = cand2.hint("shuffle_hash")
+      .join(member, cand2("prev") === member("p2") && cand2("nbr") === member("n2"), "left")
+      .withColumn("wt", when(col("nbr") === col("prev"), lit(0.5))
+        .when(col("isadj"), lit(1.0)).otherwise(lit(2.0)))
+    val hN = conv(substring(md5(concat_ws("|", lit(42L), col("walk"), lit(1))), 1, 12),
+      16, 10).cast("long")
+    weighted
+      .withColumn("cum", sum(col("wt")).over(Window.partitionBy("walk").orderBy("nbr")))
+      .withColumn("t", (hN.cast("double") / lit(281474976710656.0)) *
+        sum(col("wt")).over(Window.partitionBy("walk")))
+      .filter(col("cum") > col("t") && col("cum") - col("wt") <= col("t"))
+      .select(col("walk"), col("cur").as("prev"), col("nbr").as("vid"))
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
