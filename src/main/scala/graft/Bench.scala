@@ -92,7 +92,10 @@ object Bench {
     "q_louvain",
     // embedding clustering (driver-held centers, one codegen'd argmin pass
     // + capped-update shuffle) and second-order biased walk sampling
-    "q_kmeans", "q_node2vec")
+    "q_kmeans", "q_node2vec",
+    // keyword extraction (two term aggregates + per-doc rank window) and
+    // embedding-space eval-leakage filtering (broadcast benchmark)
+    "q_tfidf", "q_semantic_decontaminate")
 
   private val HeadlinePasses = 3
 

@@ -388,6 +388,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q_tfidf" -> ((s, dir) =>
+      // top-5 keywords per document by smoothed TF-IDF — two map-side-
+      // combinable aggregates + a term-keyed join + per-doc window
+      TextAnalysis.tfidfTopTerms(documents(s, dir), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("term"), col("tfidf"),
+          col("rnk").cast("long").as("rnk"))),
 
     // ---- corpus curation ----
     "q_domain_cap" -> ((s, dir) =>
@@ -645,6 +651,17 @@ object SparkEntry {
     "q_embed_top_pairs" -> ((s, dir) => {
       val pairs = graft.ann.Ann.bruteForceNearDupPairs(embeddings(s, dir), threshold = -2.0)
       pairs.orderBy(col("sim").desc, col("id_a"), col("id_b")).limit(50)
+    }),
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      // embedding-space eval-leakage filter: vec_ids < 25 act as the
+      // held-out benchmark (broadcast), the rest as corpus — flagged iff
+      // max cosine vs any benchmark vector reaches 0.33 (≈ the top few
+      // percent of the verify corpus, so both outcomes are exercised)
+      val emb = embeddings(s, dir)
+      graft.ann.Ann.semanticContaminated(
+        emb.filter(col("vec_id") >= 25),
+        emb.filter(col("vec_id") < 25).select(col("embedding").as("b_embedding")),
+        threshold = 0.33)
     }),
     "q_kmeans" -> ((s, dir) => {
       // Lloyd k-means over the embedding corpus (k=4, 3 fixed iterations,
@@ -1832,6 +1849,27 @@ object SparkEntry {
     "q_embed_top_pairs" -> embedTopPairsSql,
     "q_kmeans" -> kmeansSql(k = 4, iters = 3),
     "q_cluster_sample" -> clusterSampleSql(k = 4, iters = 3, perCluster = 25),
+    "q_tfidf" -> s"""
+      WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TOK')) AS term
+                    FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (SELECT tf.doc_id, tf.term,
+          ROUND(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (SELECT doc_id, term, tfidf,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5""",
+    "q_semantic_decontaminate" -> """
+      WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id < 25),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 25),
+      hit AS (SELECT DISTINCT c.vec_id FROM c CROSS JOIN b
+        WHERE ROUND(list_dot_product(c.cv, b.bv) /
+          (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(b.bv, b.bv))), 9) >= 0.33)
+      SELECT c.vec_id, (hit.vec_id IS NOT NULL) AS contaminated
+      FROM c LEFT JOIN hit ON c.vec_id = hit.vec_id""",
     "q_bfs_tree" -> bfsTreeSql,
     "q_majority_lpa" -> majorityLpaSql(iterations = 5),
     "q_label_prop" -> labelRankSql(iterations = 4),

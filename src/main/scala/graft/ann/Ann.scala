@@ -122,6 +122,28 @@ object Ann {
       .filter(col("sim") >= threshold)
   }
 
+  /**
+   * Semantic (embedding-space) benchmark decontamination: flag every corpus
+   * vector whose max cosine against ANY benchmark vector reaches
+   * `threshold` — the eval-leakage filter n-gram decontamination misses
+   * (paraphrases). Scale shape: eval sets are tiny relative to a training
+   * corpus, so the benchmark side is BROADCAST and the corpus is scanned
+   * once with a codegen'd cosine fold — no shuffle of the big side (the
+   * same contract as [[bruteForceTopK]]; an LSH pre-filter via
+   * [[planeSignature]] only pays once the benchmark outgrows a broadcast).
+   * Output: (id, contaminated) for every corpus row.
+   */
+  def semanticContaminated(corpus: DataFrame, benchmark: DataFrame, threshold: Double,
+                           id: String = "vec_id", vec: String = "embedding",
+                           bvec: String = "b_embedding"): DataFrame = {
+    val hit = corpus.join(broadcast(benchmark))
+      .filter(round(cosine(col(vec), col(bvec)), 9) >= threshold)
+      .select(col(id)).distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.select(col(id)).join(hit, Seq(id), "left")
+      .select(col(id), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold — O(n²) baseline for tests/oracles. */
   def bruteForceNearDupPairs(corpus: DataFrame, threshold: Double,
                              id: String = "vec_id", vec: String = "embedding"): DataFrame =

@@ -110,4 +110,36 @@ object TextAnalysis {
     when(cnt >= 1, transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /**
+   * Top-k terms per document by smoothed TF-IDF
+   * (tf · (ln((N+1)/(df+1)) + 1), the sklearn smoothing) over lowercased
+   * whitespace tokens — the keyword/topic-signal extractor of a curation
+   * pipeline. Scale shape: two term-keyed aggregates (both map-side
+   * combinable), a term-keyed join of tf against (term, df) — the vocabulary
+   * can outgrow a broadcast at corpus scale, so the shuffle join is the
+   * default and AQE upgrades small vocabularies to broadcast — the corpus
+   * count folded in as a one-row broadcast cross join,
+   * and a per-document window for the rank — never global. Scores round at
+   * 6 so the DuckDB oracle (same expressions, `ln` on both engines) hashes
+   * identically; ranking tie-breaks on the term.
+   * Output: (id, term, tfidf, rnk ≤ k).
+   */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(allMatches(lower(col(textCol)), "[^ \\t\\n\\r]+")).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -4,6 +4,19 @@ import org.apache.spark.sql.functions._
 import graft.ann.Ann
 
 class AnnSpec extends SparkSpec {
+
+  test("semanticContaminated: threshold semantics on hand vectors") {
+    import spark.implicits._
+    val bench = Seq(Tuple1(Array(1f, 0f))).toDF("b_embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),     // sim 1.0        -> contaminated
+      (11L, Array(0f, 1f)),     // sim 0.0        -> clean
+      (12L, Array(0.9f, 0.1f))  // sim ~0.994     -> contaminated
+    ).toDF("vec_id", "embedding")
+    val got = Ann.semanticContaminated(corpus, bench, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(10L -> true, 11L -> false, 12L -> true))
+  }
   import spark.implicits._
 
   private lazy val corpus = {

@@ -59,6 +59,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("tfidf top terms: hand oracle, smoothing, tie-break, rank cap") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // N=2; df(a)=2, df(b)=df(c)=1; idf(a)=ln(3/3)+1=1, idf(b/c)=ln(1.5)+1
+    val idfBC = BigDecimal(math.log(1.5) + 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, "a", 2.0, 1), (1L, "b", idfBC, 2),
+      (2L, "c", idfBC, 1), (2L, "a", 1.0, 2)))
+  }
+
   test("runs over the driver documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = docs.select(col("doc_id"),
