@@ -388,6 +388,9 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q_reciprocity" -> ((s, dir) =>
+      // link-graph symmetry statistic on the directed mod graph
+      graft.core.Graph.reciprocity(eMOD(s, dir))),
     "q_tfidf" -> ((s, dir) =>
       // top-5 keywords per document by smoothed TF-IDF — two map-side-
       // combinable aggregates + a term-keyed join + per-doc window
@@ -1849,6 +1852,12 @@ object SparkEntry {
     "q_embed_top_pairs" -> embedTopPairsSql,
     "q_kmeans" -> kmeansSql(k = 4, iters = 3),
     "q_cluster_sample" -> clusterSampleSql(k = 4, iters = 3, perCluster = 25),
+    "q_reciprocity" -> s"""
+      WITH e AS (SELECT src, dst FROM ($SqlEMOD) t),
+      r AS (SELECT e.src, e.dst, CASE WHEN x.src IS NOT NULL THEN 1 ELSE 0 END AS rec
+            FROM e LEFT JOIN e x ON e.src = x.dst AND e.dst = x.src)
+      SELECT COUNT(*) AS edges, CAST(SUM(rec) AS BIGINT) AS reciprocated,
+             ROUND(SUM(rec) * 1.0 / COUNT(*), 6) AS reciprocity FROM r""",
     "q_tfidf" -> s"""
       WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TOK')) AS term
                     FROM documents),

@@ -81,6 +81,22 @@ object Graph {
   def degreeDistribution(edges: DataFrame): DataFrame =
     outDegrees(edges).groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
 
+  /** Edge reciprocity of a directed graph (self-loops excluded): the
+   * fraction of edges (u,v) whose reverse (v,u) is also present — the
+   * link-graph symmetry statistic (web graphs ≈ 0.2–0.3, social ≈ 0.6+).
+   * One row: (edges, reciprocated, reciprocity). The probe is a
+   * self-left-join on the (dst, src)-swapped table — edge-keyed shuffle,
+   * one aggregate, no window. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col(SRC), col(DST)).distinct().filter(col(SRC) =!= col(DST))
+    val rev = e.select(col(DST).as(SRC), col(SRC).as(DST)).withColumn("__r", lit(1L))
+    e.join(rev, Seq(SRC, DST), "left")
+      .agg(count(lit(1)).as("edges"),
+        sum(coalesce(col("__r"), lit(0L))).as("reciprocated"),
+        round(sum(coalesce(col("__r"), lit(0L))) * lit(1.0) / count(lit(1)), 6)
+          .as("reciprocity"))
+  }
+
   /** Drop vertices with no in- and no out-edges — `graph_remove_singletons`
    * (`totem_graph.cu:468-485`). On an edge table every endpoint has degree,
    * so this operates on a vertex table. */

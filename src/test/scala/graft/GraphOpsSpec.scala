@@ -18,6 +18,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(deg(0L) == 2L && deg(1L) == 1L) // multiplicity counted (CSR row len)
   }
 
+  test("reciprocity: hand oracle, self-loops and duplicates excluded") {
+    // {(0,1),(1,0),(1,2)} -> 2 of 3 reciprocated; self-loop + dup ignored
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 2L), (0L, 1L)).toDF("src", "dst")
+    val r = Graph.reciprocity(e).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 0.666667) < 1e-9)
+    // fully symmetric graph -> 1.0; one-way chain -> 0.0
+    val sym = Graph.reciprocity(Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")).collect()(0)
+    assert(sym.getDouble(2) == 1.0)
+    val chain = Graph.reciprocity(Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")).collect()(0)
+    assert(chain.getDouble(2) == 0.0)
+  }
+
   test("degree distribution matches groupBy of degrees") {
     val e = GraphGen.star(spark, 5) // hub deg 4, leaves deg 1
     val dist = Graph.degreeDistribution(e).collect()
