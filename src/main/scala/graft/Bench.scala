@@ -95,7 +95,10 @@ object Bench {
     "q_kmeans", "q_node2vec",
     // keyword extraction (two term aggregates + per-doc rank window) and
     // embedding-space eval-leakage filtering (broadcast benchmark)
-    "q_tfidf", "q_semantic_decontaminate")
+    "q_tfidf", "q_semantic_decontaminate",
+    // web-graph macro structure: one SCC pass + four reachability sweeps
+    // over the same digraph q_scc runs on, plus the symmetry statistic
+    "q_bowtie", "q_reciprocity")
 
   private val HeadlinePasses = 3
 

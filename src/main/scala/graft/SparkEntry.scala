@@ -206,6 +206,10 @@ object SparkEntry {
       // FW-BW-Trim over the block-structured sparse digraph: trivial
       // periphery exercises Trim, the per-block cycles the coloring+sweep
       graft.alg.StronglyConnected.run(eSCC(s, dir))),
+    "q_bowtie" -> ((s, dir) =>
+      // Broder macro-structure census (CORE/IN/OUT/TUBE/TENDRIL/DISC) of
+      // the same mixed-SCC digraph: SCC + four batched reachability sweeps
+      graft.alg.BowTie.summary(eSCC(s, dir))),
     "q_adamic_adar" -> ((s, dir) =>
       // link prediction on the bipartite part–supplier graph: top pairs =
       // parts sharing suppliers / suppliers sharing parts
@@ -1651,6 +1655,37 @@ object SparkEntry {
       SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.w), v.vid)) AS scc
       FROM v LEFT JOIN mutual m ON v.vid = m.v
       GROUP BY v.vid""",
+    "q_bowtie" -> s"""
+      WITH RECURSIVE e AS MATERIALIZED ($SqlESCC),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+      ),
+      mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      scc AS MATERIALIZED (SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.w), v.vid)) AS scc
+             FROM v LEFT JOIN mutual m ON v.vid = m.v GROUP BY v.vid),
+      corev AS MATERIALIZED (SELECT vid FROM scc WHERE scc =
+        (SELECT scc FROM scc GROUP BY scc ORDER BY COUNT(*) DESC, scc LIMIT 1)),
+      bt_out AS MATERIALIZED (SELECT DISTINCT r.b AS vid FROM reach r JOIN corev c ON r.a = c.vid
+        WHERE r.b NOT IN (SELECT vid FROM corev)),
+      bt_in AS MATERIALIZED (SELECT DISTINCT r.a AS vid FROM reach r JOIN corev c ON r.b = c.vid
+        WHERE r.a NOT IN (SELECT vid FROM corev)),
+      remv AS MATERIALIZED (SELECT vid FROM v WHERE vid NOT IN (SELECT vid FROM corev)
+        AND vid NOT IN (SELECT vid FROM bt_out) AND vid NOT IN (SELECT vid FROM bt_in)),
+      from_in AS (SELECT DISTINCT r.b AS vid FROM reach r JOIN bt_in i ON r.a = i.vid
+        WHERE r.b IN (SELECT vid FROM remv)),
+      to_out AS (SELECT DISTINCT r.a AS vid FROM reach r JOIN bt_out o ON r.b = o.vid
+        WHERE r.a IN (SELECT vid FROM remv)),
+      cls AS (SELECT v.vid,
+        CASE WHEN v.vid IN (SELECT vid FROM corev) THEN 'CORE'
+             WHEN v.vid IN (SELECT vid FROM bt_in) THEN 'IN'
+             WHEN v.vid IN (SELECT vid FROM bt_out) THEN 'OUT'
+             WHEN v.vid IN (SELECT vid FROM from_in) AND v.vid IN (SELECT vid FROM to_out) THEN 'TUBE'
+             WHEN v.vid IN (SELECT vid FROM from_in) OR v.vid IN (SELECT vid FROM to_out) THEN 'TENDRIL'
+             ELSE 'DISC' END AS region FROM v)
+      SELECT region, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM cls GROUP BY region""",
     "q_adamic_adar" -> s"""
       WITH e AS MATERIALIZED ($SqlEPS),
       canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
