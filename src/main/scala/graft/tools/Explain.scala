@@ -186,6 +186,25 @@ object Explain {
       .select(col("walk"), col("cur").as("prev"), col("nbr").as("vid"))
       .explain("formatted")
 
+    println("==== bow-tie reachability sweep: frontier ⋈ adjacency -> explode -> anti-join visited ====")
+    // mirrors one BowTie.reachable level: the adjacency is the SAME
+    // persisted frame all four sweeps share; visited is a Lineage.cut
+    // frame, so the anti-join needs no hint (tiny build side)
+    val visited = graft.core.Lineage.cut(Graph.vertices(edges).limit(100))
+    adj.join(visited.hint("shuffle_hash"), adj("src") === visited("vid"))
+      .select(explode(col("nbrs")).as("vid")).distinct()
+      .join(visited.hint("shuffle_hash"), Seq("vid"), "left_anti")
+      .explain("formatted")
+
+    println("==== reciprocity: edge-keyed self-join on the swapped table + one aggregate ====")
+    val eDir = edges.select("src", "dst").distinct().filter(col("src") =!= col("dst"))
+    val rev = eDir.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("__r", lit(1L))
+    eDir.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("edges"),
+        sum(coalesce(col("__r"), lit(0L))).as("reciprocated"))
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
