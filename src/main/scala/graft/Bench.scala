@@ -73,7 +73,7 @@ object Bench {
   // and q_vertex_cover are also not benched: coloring is ~#colors × q_mis
   // by construction and vertex cover is q_matching plus one projection.
   private val Headline = Seq(
-    "q_pagerank", "q_ppr", "q_hits", "q_katz", "q_wcc", "q_scc",
+    "q_pagerank", "q_ppr", "q_hits", "q_salsa", "q_katz", "q_wcc", "q_scc",
     "q_triangles", "q_link_predict", "q_ktruss",
     "q_label_prop_pruned_full", "q_bfs",
     "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk",

@@ -139,6 +139,12 @@ object SparkEntry {
       r.scores.select(col("vid"),
         round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
     }),
+    "q_salsa" -> ((s, dir) => {
+      val r = graft.alg.Salsa.run(eMOD(s, dir))
+      graft.core.MetricsLedger.record("q_salsa", r.metrics.size)
+      r.scores.select(col("vid"),
+        round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+    }),
     "q_wcc" -> ((s, dir) => {
       val r = graft.alg.ConnectedComponents.run(ePS(s, dir))
       graft.core.MetricsLedger.record("q_wcc", r.metrics.size)
@@ -781,6 +787,34 @@ object SparkEntry {
             THEN hr.h_raw / (SELECT SQRT(SUM(h_raw * h_raw)) FROM hr$k) ELSE 0.0 END AS hub,
           CASE WHEN (SELECT SQRT(SUM(a_raw * a_raw)) FROM ar$k) > 0
             THEN ar.a_raw / (SELECT SQRT(SUM(a_raw * a_raw)) FROM ar$k) ELSE 0.0 END AS auth
+        FROM hr$k hr JOIN ar$k ar ON hr.vid = ar.vid)"""
+    }.mkString
+    init + body +
+      s"\n      SELECT vid, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM s$rounds"
+  }
+
+  private def salsaSql(rounds: Int): String = {
+    val init = s"""
+      WITH e AS ($SqlEMOD),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      od AS (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+      ind AS (SELECT dst AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY dst),
+      s0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS auth FROM v)"""
+    val body = (1 to rounds).map { k =>
+      s"""
+      , ar$k AS MATERIALIZED (SELECT v.vid, COALESCE(x.m, 0.0) AS a_raw FROM v LEFT JOIN (
+          SELECT e.dst AS vid, SUM(p.hub / od.d) AS m FROM e JOIN s${k - 1} p ON e.src = p.vid
+          JOIN od ON e.src = od.vid GROUP BY e.dst
+        ) x ON v.vid = x.vid)
+      , hr$k AS MATERIALIZED (SELECT v.vid, COALESCE(x.m, 0.0) AS h_raw FROM v LEFT JOIN (
+          SELECT e.src AS vid, SUM(a.a_raw / ind.d) AS m FROM e JOIN ar$k a ON e.dst = a.vid
+          JOIN ind ON e.dst = ind.vid GROUP BY e.src
+        ) x ON v.vid = x.vid)
+      , s$k AS MATERIALIZED (SELECT hr.vid,
+          CASE WHEN (SELECT SUM(h_raw) FROM hr$k) > 0
+            THEN hr.h_raw / (SELECT SUM(h_raw) FROM hr$k) ELSE 0.0 END AS hub,
+          CASE WHEN (SELECT SUM(a_raw) FROM ar$k) > 0
+            THEN ar.a_raw / (SELECT SUM(a_raw) FROM ar$k) ELSE 0.0 END AS auth
         FROM hr$k hr JOIN ar$k ar ON hr.vid = ar.vid)"""
     }.mkString
     init + body +
@@ -1642,6 +1676,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql,
     "q_ppr" -> pprSql(rounds = 5, nSeeds = 5),
     "q_hits" -> hitsSql(rounds = 5),
+    "q_salsa" -> salsaSql(rounds = 5),
     "q_katz" -> katzSql(rounds = 5, alpha = 0.1),
     "q_scc" -> s"""
       WITH RECURSIVE e AS MATERIALIZED ($SqlESCC),
