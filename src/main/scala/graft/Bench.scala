@@ -98,7 +98,9 @@ object Bench {
     "q_tfidf", "q_semantic_decontaminate",
     // web-graph macro structure: one SCC pass + four reachability sweeps
     // over the same digraph q_scc runs on, plus the symmetry statistic
-    "q_bowtie", "q_reciprocity")
+    "q_bowtie", "q_reciprocity",
+    // anchor harvest: regex-zip extraction + salted per-target top-k
+    "q_anchor_text")
 
   private val HeadlinePasses = 3
 

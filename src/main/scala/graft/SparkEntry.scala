@@ -461,6 +461,27 @@ object SparkEntry {
         concat(link(0), link(1), link(2)).cast("binary").as("html"))
       graft.text.EdgeExtract.hostGraph(pages)
     }),
+    "q_anchor_text" -> ((s, dir) => {
+      // synthetic crawl with DESCRIPTIVE anchors: doc k's link j points to
+      // t = (31k+17j+7) mod n carrying anchor text kw{(k+j)%7}. The REAL
+      // pipeline runs here (two-group regex zip extraction + salted top-3
+      // per-target aggregation); the oracle rebuilds the triples
+      // arithmetically, so a green row proves the anchor path end to end.
+      val d = documents(s, dir)
+      val n = d.count()
+      def link(j: Int): Column = {
+        val t = (col("doc_id") * 31 + lit(17 * j + 7)) % n
+        concat(lit("<a href=\"https://src"), (t % 20).cast("string"),
+          lit(".example.org/d/"), t.cast("string"),
+          lit("\">kw"), ((col("doc_id") + lit(j)) % 7).cast("string"),
+          lit("</a>"))
+      }
+      val pages = d.select(
+        concat(lit("https://"), col("source"), lit(".example.org/d/"),
+          col("doc_id")).as("url"),
+        concat(link(0), link(1), link(2)).cast("binary").as("html"))
+      graft.text.EdgeExtract.topAnchors(pages, k = 3)
+    }),
     "q_contract" -> ((s, dir) => {
       // quotient graph: collapse the modular graph by part = vid % 25
       val e = eMOD(s, dir)
@@ -1835,6 +1856,19 @@ object SparkEntry {
         FROM documents d, UNNEST([0, 1, 2]) AS j(j))
       SELECT src_host, dst_host, COUNT(*) AS weight FROM l
       WHERE src_host != dst_host GROUP BY 1, 2""",
+    "q_anchor_text" -> """
+      WITH l AS (
+        SELECT 'https://src' || CAST(((d.doc_id * 31 + 17 * j.j + 7)
+                   % (SELECT COUNT(*) FROM documents)) % 20 AS VARCHAR)
+               || '.example.org/d/' || CAST((d.doc_id * 31 + 17 * j.j + 7)
+                   % (SELECT COUNT(*) FROM documents) AS VARCHAR) AS dst_url,
+               'kw' || CAST((d.doc_id + j.j) % 7 AS VARCHAR) AS anchor
+        FROM documents d, UNNEST([0, 1, 2]) AS j(j)),
+      c AS (SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1, 2),
+      r AS (SELECT dst_url, anchor, n,
+              CAST(row_number() OVER (PARTITION BY dst_url
+                ORDER BY n DESC, anchor) AS INTEGER) AS a_rank FROM c)
+      SELECT dst_url, anchor, n, a_rank FROM r WHERE a_rank <= 3""",
     "q_contract" -> s"""
       WITH e AS ($SqlEMOD)
       SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight

@@ -55,6 +55,58 @@ object EdgeExtract {
       .select(col("url"), (col("off") + col("rn")).as("vid"))
   }
 
+  private val AnchorPattern =
+    """(?i)<a\s[^>]*href\s*=\s*["']([^"'#\s>]+)["'][^>]*>([^<]*)</a>"""
+
+  /** (src_url, dst_url, anchor) triples — [[links]] plus the anchor TEXT of
+   * each link. Anchor text is how the web describes a page in third-party
+   * words; aggregated per target it is a standard training-pair source
+   * (query→doc relevance) and ranking signal. Both capture groups come from
+   * `regexp_extract_all` over the same pattern and are `arrays_zip`ped, so
+   * extraction stays one codegen'd projection — no UDF, no second scan.
+   * Anchors are whitespace-trimmed; empty anchors and non-http targets are
+   * dropped. */
+  def linksWithAnchors(pages: DataFrame): DataFrame = {
+    val h = col("html").cast("string")
+    pages.select(
+        col("url").as("src_url"),
+        regexp_extract_all(h, lit(AnchorPattern), lit(1)).as("__u"),
+        regexp_extract_all(h, lit(AnchorPattern), lit(2)).as("__t"))
+      .select(col("src_url"), explode(arrays_zip(col("__u"), col("__t"))).as("__z"))
+      .select(col("src_url"), col("__z.__u").as("dst_url"),
+        trim(col("__z.__t")).as("anchor"))
+      .filter(col("dst_url").startsWith("http") && length(col("anchor")) > 0)
+  }
+
+  /**
+   * Top-k anchor texts per TARGET url by inbound count —
+   * `(dst_url, anchor, n, a_rank)`, ties broken by anchor string so the
+   * result is deterministic. Aggregation is a map-side-combinable
+   * (dst, anchor) count; the per-target top-k is TWO-PHASE SALTED (same
+   * argument as `Curation.capPerKey`): phase 1 ranks inside
+   * (dst, hash(anchor) % salts) buckets — any true global top-k row is
+   * beaten by at most k-1 rows, so it survives its bucket — and phase 2
+   * ranks the ≤ salts·k survivors. A popular url with millions of distinct
+   * anchors (the google.com case) never sorts more than its hottest
+   * bucket's share in one task.
+   */
+  def topAnchors(pages: DataFrame, k: Int = 3, salts: Int = 16): DataFrame = {
+    val counts = linksWithAnchors(pages)
+      .groupBy(col("dst_url"), col("anchor")).agg(count(lit(1)).as("n"))
+    val phase1 = counts
+      .withColumn("__s", pmod(xxhash64(col("anchor")), lit(salts)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("dst_url"), col("__s"))
+          .orderBy(col("n").desc, col("anchor"))))
+      .filter(col("__rn") <= k)
+    phase1
+      .withColumn("a_rank", row_number().over(
+        Window.partitionBy(col("dst_url"))
+          .orderBy(col("n").desc, col("anchor"))).cast("int"))
+      .filter(col("a_rank") <= k)
+      .select(col("dst_url"), col("anchor"), col("n"), col("a_rank"))
+  }
+
   /** Host part of an absolute http(s) url (authority minus port). */
   def host(url: Column): Column =
     regexp_extract(url, "^https?://([^/:?#]+)", 1)

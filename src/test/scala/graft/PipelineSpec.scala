@@ -94,4 +94,44 @@ class PipelineSpec extends SparkSpec {
       .toDF("u").select(EdgeExtract.host(col("u"))).collect().map(_.getString(0))
     assert(hosts.toSeq == Seq("h.io", "x.y.z", ""))
   }
+
+  test("anchor extraction: text paired with its href, trimmed, empties/non-http dropped") {
+    val pages = Seq(
+      ("https://a.com/1",
+        "<a href=\"https://b.com/x\"> Click  Here </a>" +
+          "<a class=\"z\" href=\"https://c.com/y\" rel=\"nofollow\">c page</a>" +
+          "<a href=\"https://d.com/e\"><img src=\"i.png\"/></a>" + // empty anchor
+          "<a href=\"/relative\">rel</a>"),                        // non-http
+      ("https://a.com/2", "<A HREF='https://b.com/x'>click here</A>"))
+      .toDF("url", "html").withColumn("html", col("html").cast("binary"))
+    val got = EdgeExtract.linksWithAnchors(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("https://a.com/1", "https://b.com/x", "Click  Here"),
+      ("https://a.com/1", "https://c.com/y", "c page"),
+      ("https://a.com/2", "https://b.com/x", "click here")))
+  }
+
+  test("topAnchors: salted two-phase equals one global window, count-then-anchor order") {
+    // 40 targets × anchors kw0..kw6 with skewed multiplicities
+    val pages = (0 until 200).flatMap { k =>
+      val links = (0 until 5).map { j =>
+        val t = (k * 13 + j * 29) % 40
+        s"""<a href="https://t.example/$t">kw${(k + j) % 7}</a>"""
+      }
+      Seq((s"https://s.example/$k", links.mkString))
+    }.toDF("url", "html").withColumn("html", col("html").cast("binary"))
+    val fast = EdgeExtract.topAnchors(pages, k = 3, salts = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    // oracle: unsalted single global window
+    import org.apache.spark.sql.expressions.Window
+    val slow = EdgeExtract.linksWithAnchors(pages)
+      .groupBy("dst_url", "anchor").agg(count(lit(1)).as("n"))
+      .withColumn("a_rank", row_number().over(
+        Window.partitionBy("dst_url").orderBy(col("n").desc, col("anchor"))).cast("int"))
+      .filter(col("a_rank") <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(fast == slow)
+    assert(fast.nonEmpty && fast.groupBy(_._1).forall(_._2.size <= 3))
+  }
 }
