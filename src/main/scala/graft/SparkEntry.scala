@@ -104,6 +104,10 @@ object SparkEntry {
       Graph.outDegrees(ePS(s, dir)).select(col("vid"), col("deg"))),
     "q_degree_dist" -> ((s, dir) =>
       Graph.degreeDistribution(ePS(s, dir))),
+    "q_powerlaw" -> ((s, dir) =>
+      // CSN discrete MLE of the out-degree tail exponent on the skewed
+      // bipartite graph — two aggregates, one row
+      Graph.powerLawExponent(ePS(s, dir))),
     "q_summary" -> ((s, dir) => {
       val raw = lineitem(s, dir).select((col("l_orderkey") % 500).as("src"),
         (col("l_partkey") % 500).as("dst"))
@@ -132,6 +136,23 @@ object SparkEntry {
       val r = graft.alg.PageRank.personalized(e, seeds)
       graft.core.MetricsLedger.record("q_ppr", r.metrics.size)
       r.ranks.select(col("vid"), round(col("rank"), 6).as("rank"))
+    }),
+    "q_spam_mass" -> ((s, dir) => {
+      // TrustRank spam mass (Gyöngyi et al., VLDB 2004): relative mass
+      // (PR − TR)/PR where TR = PageRank personalized on a trusted seed
+      // set (the 5 smallest ids, exactly q_ppr's seeds). Pure composition
+      // of the two oracle-checked rank jobs; both sides round to 6 BEFORE
+      // the ratio so the division sees bit-identical inputs cross-engine.
+      val e = eMOD(s, dir)
+      val seeds = Graph.vertices(e).orderBy(col("vid")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val pr = graft.alg.PageRank.run(e).ranks
+        .select(col("vid"), round(col("rank"), 6).as("pr"))
+      val tr = graft.alg.PageRank.personalized(e, seeds).ranks
+        .select(col("vid"), round(col("rank"), 6).as("tr"))
+      pr.join(tr, Seq("vid"))
+        .select(col("vid"), col("pr"), col("tr"),
+          round((col("pr") - col("tr")) / col("pr"), 6).as("spam_mass"))
     }),
     "q_hits" -> ((s, dir) => {
       val r = graft.alg.Hits.run(eMOD(s, dir))
@@ -1696,6 +1717,18 @@ object SparkEntry {
       FROM hs JOIN lvl ON lvl.d <= hs.h GROUP BY hs.h""",
     "q_pagerank" -> pagerankSql,
     "q_ppr" -> pprSql(rounds = 5, nSeeds = 5),
+    "q_spam_mass" -> s"""
+      WITH pr AS (${pagerankSql}),
+      tr AS (${pprSql(rounds = 5, nSeeds = 5)})
+      SELECT pr.vid, pr.rank AS pr, tr.rank AS tr,
+             ROUND((pr.rank - tr.rank) / pr.rank, 6) AS spam_mass
+      FROM pr JOIN tr ON pr.vid = tr.vid""",
+    "q_powerlaw" -> s"""
+      WITH e AS ($SqlEPS),
+      d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      t AS (SELECT deg FROM d WHERE deg >= 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             ROUND(1.0 + COUNT(*) / SUM(LN(deg / 1.5)), 6) AS alpha FROM t""",
     "q_hits" -> hitsSql(rounds = 5),
     "q_salsa" -> salsaSql(rounds = 5),
     "q_katz" -> katzSql(rounds = 5, alpha = 0.1),

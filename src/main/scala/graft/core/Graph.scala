@@ -97,6 +97,21 @@ object Graph {
           .as("reciprocity"))
   }
 
+  /** MLE fit of the out-degree tail's power-law exponent — the standard
+   * web-graph summary statistic (α ≈ 2.1 for the crawled web):
+   * Clauset-Shalizi-Newman discrete approximation over degrees ≥ dmin,
+   *   α = 1 + n_tail / Σ ln(deg / (dmin − ½)).
+   * One row (n_tail, alpha); two map-side-combinable aggregates over the
+   * degree table, no window, no collect. */
+  def powerLawExponent(edges: DataFrame, dmin: Long = 2L): DataFrame = {
+    val tail = outDegrees(edges).filter(col("deg") >= dmin)
+    tail.agg(
+      count(lit(1)).as("n_tail"),
+      round(lit(1.0) +
+        count(lit(1)) / sum(log(col("deg").cast("double") / (dmin - 0.5))), 6)
+        .as("alpha"))
+  }
+
   /** Drop vertices with no in- and no out-edges — `graph_remove_singletons`
    * (`totem_graph.cu:468-485`). On an edge table every endpoint has degree,
    * so this operates on a vertex table. */

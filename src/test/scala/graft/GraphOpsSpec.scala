@@ -31,6 +31,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(chain.getDouble(2) == 0.0)
   }
 
+  test("power-law exponent: CSN discrete MLE hand oracle, tail cut at dmin") {
+    // out-degrees 3, 2 (tail) and 1 (below dmin=2, excluded):
+    // alpha = 1 + 2 / (ln(3/1.5) + ln(2/1.5))
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L), (4L, 6L), (7L, 8L))
+      .toDF("src", "dst")
+    val r = Graph.powerLawExponent(e).collect()(0)
+    val expected = 1.0 + 2.0 / (math.log(3 / 1.5) + math.log(2 / 1.5))
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - expected) < 6e-7) // 6-decimal rounding
+    // RMAT tail exponent lands in the plausible heavy-tail band
+    val rm = Graph.powerLawExponent(GraphGen.rmat(spark, 8, 8, seed = 7))
+      .collect()(0).getDouble(1)
+    assert(rm > 1.2 && rm < 5.0, s"rmat alpha=$rm")
+  }
+
   test("degree distribution matches groupBy of degrees") {
     val e = GraphGen.star(spark, 5) // hub deg 4, leaves deg 1
     val dist = Graph.degreeDistribution(e).collect()
