@@ -100,7 +100,10 @@ object Bench {
     // over the same digraph q_scc runs on, plus the symmetry statistic
     "q_bowtie", "q_reciprocity",
     // anchor harvest: regex-zip extraction + salted per-target top-k
-    "q_anchor_text")
+    "q_anchor_text",
+    // TrustRank spam mass (two PageRank jobs + one join) and the one-row
+    // degree-tail MLE
+    "q_spam_mass", "q_powerlaw")
 
   private val HeadlinePasses = 3
 
