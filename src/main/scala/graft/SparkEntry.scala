@@ -447,6 +447,12 @@ object SparkEntry {
       // repetition signal); ties break (cnt desc, gram asc) in both engines
       graft.text.Repetition.topNgram(documents(s, dir), "doc_id", "text", n = 2)
         .withColumnRenamed("id", "doc_id")),
+    "q_corpus_ngrams" -> ((s, dir) =>
+      // corpus-level boilerplate mining: global top-50 word 3-grams with
+      // total count + document frequency; (cnt desc, gram asc) total order
+      // keeps the top-k cut deterministic cross-engine
+      graft.text.Repetition.corpusTopNgrams(documents(s, dir), "doc_id", "text",
+        n = 3, k = 50)),
     "q_dup_ngrams" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         round(graft.text.Repetition.dupNgramFraction(col("text"), 3), 6).as("dup3_frac"),
@@ -635,6 +641,13 @@ object SparkEntry {
     // ---- dedup ----
     "q_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exactGroups(documents(s, dir))),
+    "q_substring_dedup" -> ((s, dir) =>
+      // Lee-et-al-style exact substring dedup at 8-token windows: every
+      // duplicated window occurrence except the globally first is removed;
+      // the cleaned text is md5-checked cross-engine
+      graft.dedup.Dedup.dedupSubstrings(documents(s, dir), n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text_kept")).as("kept_md5"))),
     "q_ngram_jaccard" -> ((s, dir) =>
       // cap binds only above the verify scale (sf0.01 has 500 docs), so the
       // DuckDB oracle (no cap) still matches exactly there while bench-scale
@@ -1823,6 +1836,29 @@ object SparkEntry {
       "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents",
     "q_dedup_exact" ->
       "SELECT md5(text) AS hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text)",
+    // exact substring (8-token-window) dedup: winner = lexicographically
+    // smallest (doc_id, start), encoded arithmetically (doc_id*2^20 + s is
+    // order-isomorphic to the struct min while s < 2^20, which holds for
+    // the verify corpus); a token is removed iff a losing window covers it
+    "q_substring_dedup" -> s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
+      occ AS (SELECT doc_id, i AS s, md5(array_to_string(t[i:i+7], ' ')) AS h
+              FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 0))) AS u(i)),
+      g AS (SELECT h, COUNT(*) AS c, MIN(doc_id * 1048576 + s) AS wkey FROM occ GROUP BY h),
+      losers AS (SELECT o.doc_id, o.s FROM occ o JOIN g ON o.h = g.h
+                 WHERE g.c >= 2 AND o.doc_id * 1048576 + o.s <> g.wkey),
+      rem AS (SELECT DISTINCT doc_id, s + j AS p
+              FROM losers, UNNEST(generate_series(0, 7)) AS v(j)),
+      tok AS (SELECT doc_id, i AS p, t[i] AS tok
+              FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+      kept AS (SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS txt,
+                      COUNT(*) AS nk
+               FROM tok k LEFT JOIN rem r ON r.doc_id = k.doc_id AND r.p = k.p
+               WHERE r.p IS NULL GROUP BY k.doc_id)
+      SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(len(t.t) - COALESCE(k.nk, 0) AS BIGINT) AS n_removed,
+             md5(COALESCE(k.txt, '')) AS kept_md5
+      FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id""",
     "q_domain_cap" -> """
       SELECT doc_id, source FROM (
         SELECT doc_id, source, row_number() OVER (
@@ -1842,6 +1878,12 @@ object SparkEntry {
       SELECT doc_id, gram, cnt,
         ROUND(cnt * length(gram) * 1.0 / joined_len, 6) AS char_frac
       FROM top WHERE rn = 1""",
+    "q_corpus_ngrams" -> s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
+      grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i))
+      SELECT gram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+      FROM grams GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 50""",
     "q_dup_ngrams" -> s"""
       WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
       grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram

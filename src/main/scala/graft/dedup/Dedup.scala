@@ -222,4 +222,76 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /**
+   * Exact substring dedup at token-window granularity, after Lee et al.
+   * 2021 ("Deduplicating Training Data Makes Language Models Better",
+   * arXiv:2107.06499, public): any `n`-token window whose text occurs more
+   * than once ACROSS THE CORPUS (including repeats within one document) is
+   * removed from every occurrence except the globally first. The reference
+   * engine has no text layer (Totem is graph-only); this is a
+   * training-data-pipeline extension per the graft brief. Lee et al. build
+   * a corpus-wide suffix array; at the fixed-window granularity the same
+   * "no exact n-token span survives twice" guarantee reduces to a
+   * hash census over all windows — the shape below.
+   *
+   * Deterministic contract (shared verbatim with the DuckDB oracle):
+   *  - tokens = whitespace runs of the LOWERCASED text (the corpus
+   *    tokenizer used by [[graft.text.Repetition]]);
+   *  - window start s is 1-based and covers tokens [s, s+n-1]; its identity
+   *    is md5 of the tokens joined by one space (128 bits — a collision
+   *    needs ~2^64 distinct windows);
+   *  - the surviving occurrence per window text = lexicographically
+   *    smallest (id, s);
+   *  - a token is removed iff ANY losing occurrence covers its position;
+   *    kept tokens are re-joined by single spaces. (As in Lee et al.,
+   *    removal can butt-splice previously distant tokens; downstream
+   *    training treats the seam as a document boundary.)
+   *
+   * Output: (id, n_tokens, n_removed, text_kept) — one row per input doc,
+   * `text_kept = ""` when everything was removed.
+   *
+   * Scale design: one explode yields O(total tokens) occurrence rows; the
+   * census is a map-side-combinable `groupBy(h).agg(count, min(struct))`,
+   * so the exchange carries one candidate per (task, window) — the same
+   * shape as [[dedupParagraphs]]. Loser spans expand to at most n×losers
+   * position rows (n is a small constant), and the rebuild is a token-level
+   * anti-join + in-document array_sort: no global windows, no driver
+   * collect, nothing quadratic in document length.
+   */
+  def dedupSubstrings(docs: DataFrame, n: Int = 8, id: String = "doc_id",
+                      text: String = "text"): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    val toks = docs.select(col(id).as("id"),
+      regexp_extract_all(lower(col(text)), lit("[^ \\t\\n\\r]+"), lit(0)).as("t"))
+    // docs shorter than n tokens have no windows (sequence() would descend
+    // on a negative span, so the filter is load-bearing, not an optimization)
+    val occ = toks.filter(size(col("t")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("t")) - (n - 1)),
+        s => struct(s.as("s"), md5(concat_ws(" ", slice(col("t"), s, lit(n)))).as("h"))))
+      .as("o"))
+      .select(col("id"), col("o.s").as("s"), col("o.h").as("h"))
+    val census = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("s"))).as("w"))
+    val losers = occ.join(census, Seq("h"))
+      .filter(col("c") >= 2 && !(col("id") === col("w.id") && col("s") === col("w.s")))
+    val removed = losers
+      .select(col("id"), explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
+      .distinct()
+    val tokens = toks
+      .select(col("id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("tok"))
+    val rebuilt = tokens.join(removed, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("p"), col("tok")))).as("ps"))
+      .select(col("id"),
+        array_join(transform(col("ps"), x => x("tok")), " ").as("text_kept"),
+        size(col("ps")).cast("long").as("n_kept"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(id), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

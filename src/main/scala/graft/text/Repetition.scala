@@ -115,4 +115,28 @@ object Repetition {
     struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
       alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"), keep.as("keep"))
   }
+
+  /**
+   * CORPUS-level most-frequent word n-grams — the boilerplate/template
+   * miner of a curation pipeline (the global sibling of the per-document
+   * [[topNgram]]): repeated navigation chrome, cookie banners, and licence
+   * blurbs surface as corpus-wide heavy hitters long before any similarity
+   * join sees them. Output: (gram, cnt, n_docs) — total occurrences and
+   * document frequency — top `k` by (cnt desc, gram asc), a total order, so
+   * the cut boundary is deterministic cross-engine.
+   *
+   * Scale shape: explode → `groupBy(gram, id).count` (map-side combinable;
+   * also what makes the doc-frequency exact without a count-distinct
+   * shuffle) → `groupBy(gram).agg(sum, count)` → global top-k via
+   * `orderBy().limit(k)`, which Spark executes as TakeOrdered (per-partition
+   * heaps + driver merge of k rows), never a full sort.
+   */
+  def corpusTopNgrams(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(wordGrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"), col("id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("gram"))
+      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("n_docs"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
 }

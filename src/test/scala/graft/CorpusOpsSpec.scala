@@ -115,4 +115,28 @@ class CorpusOpsSpec extends SparkSpec {
       3L -> (("", 0L)),
       4L -> (("unique four", 1L))))
   }
+
+  test("substring dedup removes every non-first duplicated token window") {
+    val docs = Seq(
+      (0L, "A B C D E x y z"),        // winner of "a b c d e" (lowercased)
+      (1L, "p q a b c d e r"),        // loser at s=3 -> removes tokens 3..7
+      (2L, "m n o m n o m n o m n o"),// in-doc period-3 repeats
+      (3L, ""),                       // no tokens
+      (4L, "a b c d e")               // fully removed (loser of doc 0)
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == Map(
+      0L -> ((8L, 0L, "a b c d e x y z")),
+      1L -> ((8L, 5L, "p q r")),
+      // windows repeat with period 3: losers at s=4..8 cover positions
+      // 4..12, only the first period survives
+      2L -> ((12L, 9L, "m n o")),
+      3L -> ((0L, 0L, "")),
+      4L -> ((5L, 5L, ""))))
+    // deterministic under different physical partitioning
+    val again = Dedup.dedupSubstrings(docs.repartition(7), n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(again == got)
+  }
 }

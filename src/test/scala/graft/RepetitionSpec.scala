@@ -69,6 +69,20 @@ class RepetitionSpec extends SparkSpec {
     assert(!got(4L)._5 && got(4L)._2 < 3.0)
   }
 
+  test("corpusTopNgrams: global counts, doc frequency, deterministic ties") {
+    val df = docs(
+      1L -> "x y z x y z",  // "x y" ×2, "y z" ×2, "z x" ×1
+      2L -> "x y a b",
+      3L -> "A B x y")      // lowercases to "a b", "b x", "x y"
+    val got = Repetition.corpusTopNgrams(df, "doc_id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ("a b", 2) ties ("y z", 2) on cnt; gram asc breaks it
+    assert(got.toSeq == Seq(("x y", 4L, 3L), ("a b", 2L, 2L), ("y z", 2L, 1L)))
+    val cut = Repetition.corpusTopNgrams(df, "doc_id", "text", n = 2, k = 2)
+      .collect().map(_.getString(0))
+    assert(cut.toSeq == Seq("x y", "a b"))
+  }
+
   test("measures are partitioning-invariant (pure per-row expressions)") {
     val df = (0L until 64L).map(i => (i, s"tok$i x y tok${i % 7} " * 3)).toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
