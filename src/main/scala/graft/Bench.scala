@@ -88,6 +88,9 @@ object Bench {
     // q_dedup_paragraphs the full explode → min(struct) → reassemble chain
     "q_pii", "q_url_norm", "q_stratified_sample", "q_latest_snapshot",
     "q_decontaminate", "q_dedup_paragraphs",
+    // Lee-et-al substring dedup (window census + token anti-join rebuild)
+    // and corpus-level boilerplate mining (two aggs + TakeOrdered)
+    "q_substring_dedup", "q_corpus_ngrams",
     // 3-round Louvain local moves on the modular graph (LabelRank-class)
     "q_louvain",
     // embedding clustering (driver-held centers, one codegen'd argmin pass
@@ -318,9 +321,29 @@ object Bench {
       32 -> Vector.empty[ScalingRun])
     val schedule = Seq(2, 8, 32, 2, 8, 32, 2, 8, 32, 2, 8, 32)
     for (c <- schedule) acc(c) :+= oneRun(c, scalePath)
-    val r2 = acc(2); val r8 = acc(8); val r32 = acc(32)
-    val minProbeMs = (r2 ++ r8 ++ r32)
+    def floorMs: Double = acc.values.flatten
       .flatMap(r => Seq(r.probeBeforeMs, r.probeAfterMs)).min
+    // Adaptive retries: a throttle phase can outlast every scheduled run of
+    // one level (observed round 3: all three ~100 s 2-core runs in one
+    // session were throttled). If any level ends with ZERO probe-quiet
+    // runs, spend up to 6 extra runs on the starved levels so the recorded
+    // efficiency comes from measurements, not from whichever phase the
+    // fixed schedule landed in. The quiet floor is re-derived after each
+    // extra run (a new fastest probe can only tighten the filter).
+    var extra = 0
+    var starved = acc.collect {
+      case (c, rs) if !rs.exists(_.worstProbeMs <= floorMs * QuietFactor) => c
+    }.toSeq.sorted
+    while (extra < 6 && starved.nonEmpty) {
+      val c = starved(extra % starved.size)
+      acc(c) :+= oneRun(c, scalePath)
+      extra += 1
+      starved = acc.collect {
+        case (cc, rs) if !rs.exists(_.worstProbeMs <= floorMs * QuietFactor) => cc
+      }.toSeq.sorted
+    }
+    val r2 = acc(2); val r8 = acc(8); val r32 = acc(32)
+    val minProbeMs = floorMs
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
