@@ -194,8 +194,8 @@ object Dedup {
    * Output: (id, text_kept, n_kept) for every input document — text_kept is
    * "" when every paragraph of the document occurred earlier elsewhere.
    *
-   * Scale design: the winner per paragraph is `min(struct(id, pos))`
-   * grouped by the paragraph hash — a map-side-combinable aggregation, so
+   * Scale design: the winner per paragraph is a packed-BIGINT min
+   * grouped by the paragraph hash — a map-side-combinable hash aggregation, so
    * the exchange carries one candidate per (task, paragraph), never a
    * paragraph's full occurrence list; no windows. Reassembly sorts only
    * WITHIN one document (array_sort over its kept positions). Joining back
@@ -208,10 +208,15 @@ object Dedup {
         posexplode(filter(transform(split(col(text), "\n"), p => trim(p)),
           p => length(p) > 0)).as(Seq("pos", "para")))
       .withColumn("h", md5(col("para")))
-    val winners = paras.groupBy(col("h"))
-      .agg(min(struct(col("id"), col("pos"))).as("w"))
-      .select(col("h"), col("w.id").as("id"), col("w.pos").as("pos"))
-    val kept = paras.join(winners, Seq("h", "id", "pos"), "left_semi")
+    // winner key packed into ONE BIGINT (id * 2^20 + pos) so the census is a
+    // hash aggregate, not a SortAggregate — min(struct) is not
+    // hash-aggregable; same encoding + domain bounds as [[dedupSubstrings]]
+    // (pos < 2^20 paragraphs per document, id < 2^43)
+    val pkey = col("id") * lit(1048576L) + col("pos")
+    // the packed key is globally unique per occurrence, so the semi-join
+    // needs no hash column at all — winner keys ARE the kept occurrences
+    val winners = paras.groupBy(col("h")).agg(min(pkey).as("wk"))
+    val kept = paras.join(winners.select(col("wk")), pkey === col("wk"), "left_semi")
     val rebuilt = kept.groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("para")))).as("ps"))
       .select(col("id"),
@@ -272,10 +277,17 @@ object Dedup {
         s => struct(s.as("s"), md5(concat_ws(" ", slice(col("t"), s, lit(n)))).as("h"))))
       .as("o"))
       .select(col("id"), col("o.s").as("s"), col("o.h").as("h"))
+    // winner key packed into ONE BIGINT (id * 2^20 + s): min(struct) is not
+    // hash-aggregable (it plans a SortAggregate over every occurrence row —
+    // two extra per-task sorts); min(BIGINT) keeps the census a pure
+    // HashAggregate. Order-isomorphic to (id, s) while s < 2^20 (1M tokens
+    // per document) and id < 2^43, both documented domain bounds; the DuckDB
+    // oracle uses the same encoding, so the contract is shared verbatim.
+    val key = col("id") * lit(1048576L) + col("s")
     val census = occ.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("s"))).as("w"))
+      .agg(count(lit(1)).as("c"), min(key).as("wkey"))
     val losers = occ.join(census, Seq("h"))
-      .filter(col("c") >= 2 && !(col("id") === col("w.id") && col("s") === col("w.s")))
+      .filter(col("c") >= 2 && key =!= col("wkey"))
     val removed = losers
       .select(col("id"), explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
       .distinct()

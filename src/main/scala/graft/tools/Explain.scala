@@ -205,6 +205,28 @@ object Explain {
         sum(coalesce(col("__r"), lit(0L))).as("reciprocated"))
       .explain("formatted")
 
+    println("==== substring-dedup census: window explode -> count+min(struct) agg ====")
+    // mirrors Dedup.dedupSubstrings' heavy half: one explode of O(tokens)
+    // occurrence rows into a map-side-combinable census — the same
+    // partial-HashAggregate-before-Exchange shape as the paragraph dedup
+    val docsT = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"),
+        regexp_extract_all(lower(col("text")), lit("[^ \\t\\n\\r]+"), lit(0)).as("t"))
+    val occX = docsT.filter(size(col("t")) >= 8)
+      .select(col("id"), explode(transform(sequence(lit(1), size(col("t")) - 7),
+        s => struct(s.as("s"), md5(concat_ws(" ", slice(col("t"), s, lit(8)))).as("h"))))
+        .as("o"))
+      .select(col("id"), col("o.s").as("s"), col("o.h").as("h"))
+    occX.groupBy("h").agg(count(lit(1)).as("c"),
+        min(col("id") * lit(1048576L) + col("s")).as("wkey"))
+      .explain("formatted")
+
+    println("==== corpus top-ngrams: (gram,doc) pre-agg -> gram agg -> TakeOrdered ====")
+    graft.text.Repetition.corpusTopNgrams(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", n = 3, k = 50)
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
