@@ -205,7 +205,7 @@ object Explain {
         sum(coalesce(col("__r"), lit(0L))).as("reciprocated"))
       .explain("formatted")
 
-    println("==== substring-dedup census: window explode -> count+min(struct) agg ====")
+    println("==== substring-dedup census: window explode -> count+min(packed key) agg ====")
     // mirrors Dedup.dedupSubstrings' heavy half: one explode of O(tokens)
     // occurrence rows into a map-side-combinable census — the same
     // partial-HashAggregate-before-Exchange shape as the paragraph dedup
