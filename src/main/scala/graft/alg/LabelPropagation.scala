@@ -95,20 +95,23 @@ object LabelPropagation {
       // are unaffected, ulp-noise ties collapse to the lowest label.
       val agg =
         if (pruneTopK > 0) {
-          // bounded top-k INSIDE the aggregate: collect once, sort by
-          // (p desc, l asc) via the (-p, l) struct order, slice k — replaces
-          // the row_number window (extra shuffle + full per-vertex sort) the
-          // round-1 bench flagged; argmax then runs over the pruned slice,
-          // exactly like the windowed form did. The prune COMPARATOR uses
+          // bounded top-k INSIDE the aggregate via the custom
+          // [[graft.functions.TopKStructs]] TypedImperativeAggregate: the
+          // aggregation buffer is capped at k entries at every stage
+          // (partial, shuffle payload, merge) instead of collect_list'ing
+          // O(support) structs per vertex and sort-slicing afterwards — on
+          // the near-complete derived graph a hub's support is the whole
+          // label universe, which made this the most expensive headline
+          // query. Ordering is ascending (np, l) = (p desc, l asc), the
+          // same strict total order the sort-slice form used, so results
+          // are bit-identical (parity-tested). The prune COMPARATOR uses
           // round(p, 12) — the same ulp-tie collapse as the argmax — so the
           // top-k boundary is deterministic across summation orders and
           // across engines (the DuckDB oracle mirrors the rounded ordering);
           // the p values CARRIED FORWARD stay unrounded.
           newDistFlat.groupBy(Graph.VID)
-            .agg(collect_list(
-              struct((-round(col("p"), 12)).as("np"), col("l"), col("p"))).as("__all"))
-            .select(col(Graph.VID),
-              slice(array_sort(col("__all")), 1, pruneTopK).as("__topk"))
+            .agg(graft.functions.TopKStructs.topK(
+              -round(col("p"), 12), col("l"), col("p"), pruneTopK).as("__topk"))
             .select(col(Graph.VID),
               transform(col("__topk"),
                 x => struct(x("l").as("l"), x("p").as("p"))).as("dist"),
