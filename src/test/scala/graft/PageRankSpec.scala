@@ -66,6 +66,25 @@ class PageRankSpec extends SparkSpec {
     assert(res.ranks.agg(min("rank")).collect()(0).getDouble(0) > 0.0)
   }
 
+  test("warm start: same fixed point, fewer supersteps on a recrawl delta") {
+    val g1 = graft.core.Graph.undirected(GraphGen.uniform(spark, 60, 500, seed = 17))
+    val prev = PageRank.runUntilConverged(g1, tol = 1e-8)
+    // recrawl delta: a handful of new links among existing pages
+    val extra = Seq((1L, 58L), (58L, 1L), (3L, 44L), (44L, 3L), (7L, 31L), (31L, 7L))
+      .toDF(graft.core.Graph.SRC, graft.core.Graph.DST)
+    val g2 = g1.unionByName(extra).distinct()
+    val cold = PageRank.runUntilConverged(g2, tol = 1e-8)
+    val warm = PageRank.runUntilConverged(g2, tol = 1e-8, warmStart = Some(prev.ranks))
+    val c = toMap[Double](cold.ranks); val w = toMap[Double](warm.ranks)
+    assert(c.keySet == w.keySet)
+    assert(c.forall { case (k, v) => math.abs(w(k) - v) <= 1e-6 })
+    assert(warm.metrics.size < cold.metrics.size,
+      s"warm ${warm.metrics.size} vs cold ${cold.metrics.size} supersteps")
+    // from the graph's own fixed point, one superstep suffices
+    val idem = PageRank.runUntilConverged(g2, tol = 1e-8, warmStart = Some(warm.ranks))
+    assert(idem.metrics.size == 1 && idem.metrics.last.converged)
+  }
+
   test("per-superstep metrics carry edge traversals (GTEPS basis)") {
     val edges = GraphGen.chain(spark, 10)
     val e = edges.count()
