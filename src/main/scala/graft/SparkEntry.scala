@@ -544,6 +544,10 @@ object SparkEntry {
         graft.alg.Louvain.symmetrize(eMOD(s, dir)), rounds = 3)),
     "q_sample_edges" -> ((s, dir) =>
       graft.core.Graph.sampleEdges(eMOD(s, dir), 0.3)),
+    "q_neighbor_sample" -> ((s, dir) =>
+      // GraphSAGE-style bounded fan-out: 3 deterministically-chosen
+      // out-neighbors per vertex by per-edge hash rank
+      graft.core.Graph.sampleNeighbors(eMOD(s, dir), k = 3)),
     "q_sample_vertices" -> ((s, dir) =>
       // induced node sample: an edge survives iff BOTH endpoint hashes pass
       graft.core.Graph.sampleVerticesInduced(eMOD(s, dir), 0.5)),
@@ -1963,6 +1967,13 @@ object SparkEntry {
           < ${(0.5 * 4294967296.0).toLong}
         AND CAST(('0x' || substring(md5(CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT)
           < ${(0.5 * 4294967296.0).toLong}""",
+    "q_neighbor_sample" -> s"""
+      WITH e AS ($SqlEMOD),
+      r AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+              ORDER BY md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) ASC,
+                       CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR) ASC) AS rn
+            FROM e)
+      SELECT src, dst FROM r WHERE rn <= 3""",
     "q_stratified_sample" -> """
       SELECT doc_id FROM documents
       WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -159,6 +160,39 @@ object Graph {
     val kept = vertices(edges)
       .filter(hashPos(col(VID)) < lit((fraction * 4294967296.0).toLong))
     subgraph(edges, kept)
+  }
+
+  /**
+   * GraphSAGE-style deterministic fan-out sampling: at most `k`
+   * out-neighbors per vertex, the k smallest per-EDGE hash ranks — the
+   * neighbor-sampling primitive of minibatch GNN training (Hamilton et al.
+   * 2017, public) and of bounded-fan-out approximate analytics on web
+   * graphs. Hashing the EDGE's "src_dst" string (the [[sampleEdges]] id
+   * form) rather than the neighbor id decorrelates choices across sources,
+   * so low-hash hub neighbors are not globally over-selected.
+   *
+   * Scale shape: the same salted two-phase top-k as
+   * `text.Curation.capPerKey` (inlined — the graph layer carries no text
+   * dependency): phase 1 takes per-(src, edge-hash-salt) top-k so the
+   * hottest hub never sorts more than 1/salts of its edges in one task;
+   * phase 2 ranks the ≤ salts·k survivors per source exactly.
+   */
+  def sampleNeighbors(edges: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+    require(k > 0 && salts > 0, s"k and salts must be positive, got k=$k salts=$salts")
+    val e = edges.select(col(SRC), col(DST)).distinct()
+    val id = concat(col(SRC).cast("string"), lit("_"), col(DST).cast("string"))
+    val h = md5(id)
+    val phase1 =
+      if (salts == 1) e
+      else {
+        val w1 = Window.partitionBy(col(SRC), pmod(xxhash64(id), lit(salts.toLong)))
+          .orderBy(h.asc, id.asc)
+        e.withColumn("__r1", row_number().over(w1))
+          .filter(col("__r1") <= k).drop("__r1")
+      }
+    val w2 = Window.partitionBy(col(SRC)).orderBy(h.asc, id.asc)
+    phase1.withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= k).drop("__r2")
   }
 
   /** Deterministic vertex relabeling (random-looking but seeded) —

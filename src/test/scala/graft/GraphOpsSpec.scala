@@ -225,6 +225,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(sv.except(e).count() == 0)
   }
 
+  test("sampleNeighbors: bounded fan-out, subset, salted equals global window") {
+    val e = (0L until 600L).map(i => (i % 23, (i * 7 + 3) % 101)).toDF("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val k = 5
+    val s = Graph.sampleNeighbors(e, k)
+    // at most k per source; sources with deg <= k keep ALL their edges
+    val fanOut = s.groupBy("src").count().collect().map(_.getLong(1))
+    assert(fanOut.forall(_ <= k) && fanOut.nonEmpty)
+    val degs = e.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = s.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degs.forall { case (v, d) => sampled.getOrElse(v, 0L) == math.min(d, k.toLong) })
+    assert(s.except(e).count() == 0)
+    // salted two-phase equals the single-window form, and is deterministic
+    // under physical repartitioning
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(toSet(s) == toSet(Graph.sampleNeighbors(e, k, salts = 1)))
+    assert(toSet(s) == toSet(Graph.sampleNeighbors(e.repartition(13), k)))
+    e.unpersist()
+  }
+
   test("contract: quotient graph aggregates collapsed edge multiplicity") {
     val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
     val m = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("vid", "part")
