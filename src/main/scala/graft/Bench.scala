@@ -17,11 +17,15 @@ import org.apache.spark.sql.SparkSession
  * single-shot design lets a throttle phase masquerade as an engine result
  * (observed round 2: the same code measured 58.6 s quiet vs 198.8 s
  * throttled for the headline set). The scaling legs additionally bracket
- * every run with a single-threaded host-speed probe ([[hostProbeMs]]) and
- * compute the efficiency of record from probe-verified full-speed runs
- * only — interleaving alone is not enough when one phase outlasts a whole
- * leg (observed round 3: all three ~100 s 2-core runs throttled, recording
- * a nonsense superlinear 1.203).
+ * every run with a single-threaded host-speed probe ([[hostProbeMs]]).
+ * Best-of takes the FASTEST run over all runs — interference can only
+ * inflate wall time, so a fast run is genuine capability evidence no
+ * matter what its probes saw — while the probes (a) are published as the
+ * per-run audit trail and (b) drive adaptive retries: a scaling level that
+ * never saw a quiet window keeps measuring, because interleaving alone is
+ * not enough when one phase outlasts a whole leg (observed round 3: all
+ * three ~100 s 2-core runs throttled, recording a nonsense superlinear
+ * 1.203).
  *
  * Two parts:
  *  1. headline queries from SparkEntry on SPARK_GRAFT_SF_DIR: 3 interleaved
@@ -187,13 +191,19 @@ object Bench {
     def worstProbeMs: Double = math.max(probeBeforeMs, probeAfterMs)
   }
 
-  /** Probe-filtered best: the fastest run among those whose bracketing
-   * probes show a full-speed VM (within [[QuietFactor]] of `minProbeMs`);
-   * falls back to the unfiltered best when a level drew no quiet run.
-   * Returns the chosen run plus the quiet-run count for the audit trail. */
+  /** Capability per level = the fastest run over ALL runs: host
+   * interference can only LOWER a run's throughput (GTEPS = work over
+   * wall), so the fastest observed run is the tightest lower bound on
+   * capability no matter what its bracketing probes saw — a phase edge can
+   * land between a probe and the run it brackets, and restricting the max
+   * to probe-quiet runs then records a slower run as "the" number. The
+   * probes' two remaining jobs: the published per-run audit trail, and
+   * driving main()'s adaptive retries so a level that never saw a quiet
+   * window keeps measuring instead of shipping a throttled reading.
+   * Returns the chosen run plus the quiet-run count. */
   private[graft] def pickRun(rs: Seq[ScalingRun], minProbeMs: Double): (ScalingRun, Int) = {
     val quiet = rs.filter(_.worstProbeMs <= minProbeMs * QuietFactor)
-    ((if (quiet.nonEmpty) quiet else rs).maxBy(_.gteps), quiet.size)
+    (rs.maxBy(_.gteps), quiet.size)
   }
 
   /** One measured run in a fresh session at `cores`, bracketed by host
@@ -219,12 +229,10 @@ object Bench {
     runs.map(r => f"[${r.probeBeforeMs}%.0f,${r.probeAfterMs}%.0f]")
       .mkString("[", ",", "]")
 
-  /** leg JSON: probe-filtered best-of-n gteps at both sizes + full run and
-   * probe distributions. Among runs whose bracketing probes are quiet
-   * (within [[QuietFactor]] of the session's fastest probe — i.e. the VM
-   * was demonstrably full-speed around the run), take the best; fall back
-   * to unfiltered best only if a level got no quiet run (quiet_runs_* in
-   * the JSON records which case happened). Best-of estimates capability
+  /** leg JSON: best-of-n gteps at both sizes (fastest over ALL runs — see
+   * [[pickRun]]) + full run and probe distributions; quiet_runs_* records
+   * how many runs were probe-verified full-speed (the audit trail; zero is
+   * what triggered main()'s adaptive retries). Best-of estimates capability
    * rather than the noise floor (±15% GC/page-cache variance even inside
    * a quiet phase). */
   private def legJson(cN: Int, c4N: Int,
@@ -257,12 +265,10 @@ object Bench {
       SparkEntry.queries("q_pagerank")(s1, sfDir).count()
     } catch { case _: Throwable => }
     // Each headline run is bracketed by chained host probes (the probe
-    // after query i doubles as the probe before query i+1), so the
-    // per-query number of record is the best PROBE-VERIFIED-quiet run —
-    // the same filter the scaling legs use. Observed need: one session's
-    // whole 3-pass headline window drew a ~2× throttle phase, recording
-    // q_pagerank 12.3 s where the quiet capability is ~6 s, and
-    // interleaving alone cannot fix a phase that outlasts all passes.
+    // after query i doubles as the probe before query i+1); the per-query
+    // number of record is the fastest run over all passes, and the probe
+    // readings are published per run so a reader can see which numbers
+    // came from a demonstrably quiet VM.
     hostProbeMs() // JIT the probe loop before any recorded probe
     val runs = scala.collection.mutable
       .Map[String, Vector[(Double, Double, Double)]]() // (sec, probeBefore, probeAfter)
@@ -282,10 +288,16 @@ object Bench {
     def quietRuns(rs: Vector[(Double, Double, Double)]) =
       rs.filter(_._1 >= 0)
         .filter(r => math.max(r._2, r._3) <= headFloor * QuietFactor)
+    // Best = min over ALL valid runs. Host throttling can only INFLATE a
+    // wall time — a fast run is always genuine capability evidence — so
+    // restricting the min to probe-quiet runs can only pick a worse number
+    // (observed: a query measured 9.3 s recorded 43.1 s because only the
+    // slow run's bracketing probes were quiet; a phase edge can land
+    // between a probe and the run it brackets). Probe readings stay in the
+    // JSON as the audit trail of which runs saw a quiet VM.
     def bestOf(rs: Vector[(Double, Double, Double)]): Double = {
       val valid = rs.filter(_._1 >= 0)
-      if (valid.isEmpty) -1.0
-      else { val q = quietRuns(rs); (if (q.nonEmpty) q else valid).map(_._1).min }
+      if (valid.isEmpty) -1.0 else valid.map(_._1).min
     }
     val results = Headline.flatMap { name =>
       val rs = runs(name)
@@ -310,8 +322,8 @@ object Bench {
     // 2→8 leg. Legs INTERLEAVED round-robin, 4 runs per level, one run per
     // fresh session, each run bracketed by host-speed probes (rationale in
     // the object doc and at [[hostProbeMs]]): the efficiency of record is
-    // computed from probe-verified full-speed runs, with the probe readings
-    // published in the JSON so the filter is auditable.
+    // the ratio of per-level bests over all runs, with the probe readings
+    // published in the JSON and zero-quiet levels retried adaptively.
     val warm = session(32, parts = ScalingParts, aqe = false)
     try pagerankRun(warm, scalePath) finally warm.stop() // JIT + page cache
     hostProbeMs() // JIT the probe loop before any recorded probe
