@@ -159,9 +159,14 @@ object LabelPropagation {
       val votes = e.join(state.hint("shuffle_hash"), e(Graph.DST) === state(Graph.VID))
         .groupBy(e(Graph.SRC).as("__v"), col("label"))
         .agg(count(lit(1)).as("n"))
+      // most-frequent label, lowest-label tiebreak = bounded top-1 under
+      // ascending (-n, label); -n is exact as a double for any real vote
+      // count (n < 2^53). Keeps the argmax on the hash-aggregate path —
+      // max(struct) would sort every vote row per superstep.
       val winner = votes.groupBy(col("__v").as(Graph.VID))
-        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("best"))
-        .select(col(Graph.VID), (-col("best.nl")).as("label"))
+        .agg(graft.functions.TopKStructs.topK(
+          (-col("n")).cast("double"), col("label"), lit(0.0), 1).as("best"))
+        .select(col(Graph.VID), element_at(col("best"), 1).getField("l").as("label"))
       val next = state.select(col(Graph.VID), col("label").as("old"))
         .join(winner, Seq(Graph.VID), "left")
         .select(col(Graph.VID), coalesce(col("label"), col("old")).as("label"))

@@ -93,9 +93,14 @@ object Louvain {
         col("a") - when(col("cand") === col("comm"), col("deg")).otherwise(lit(0.0)))
       .withColumn("__score",
         round(col("e") - col("deg") * col("__aAdj") / lit(twoM), 9))
+    // argmax ΔQ with lowest-cand tiebreak = bounded top-1 under ascending
+    // (-score, cand): the custom TopKStructs aggregate keeps the groupBy on
+    // the ObjectHashAggregate path (min(struct) is not hash-aggregable and
+    // would sort every candidate row per round)
     val best = scored.groupBy(Graph.VID)
-      .agg(min(struct((-col("__score")).as("ns"), col("cand").as("cand"))).as("b"))
-      .select(col(Graph.VID), col("b.cand").as("__new"))
+      .agg(graft.functions.TopKStructs.topK(
+        -col("__score"), col("cand"), col("__score"), 1).as("b"))
+      .select(col(Graph.VID), element_at(col("b"), 1).getField("l").as("__new"))
     state.join(best, Graph.VID)
       .select(col(Graph.VID),
         when(pmod(col(Graph.VID), lit(2L)) === lit(r % 2), col("__new"))
