@@ -205,6 +205,17 @@ object Explain {
         sum(coalesce(col("__r"), lit(0L))).as("reciprocated"))
       .explain("formatted")
 
+    println("==== pruned-LabelRank support cut: TopKStructs bounded top-k ====")
+    // mirrors the per-iteration argmax+prune of LabelPropagation.labelRank
+    // (pruneTopK=16): the custom TypedImperativeAggregate runs in
+    // ObjectHashAggregate with an O(k) buffer per vertex — vs collect_list
+    // (O(support) buffers) or min/max(struct) (SortAggregate fallback)
+    val sup = spark.range(100000).select((col("id") % 1000).as("vid"),
+      (col("id") % 37).as("l"), (col("id") % 97 / lit(97.0)).as("p"))
+    sup.groupBy("vid").agg(graft.functions.TopKStructs.topK(
+        -round(col("p"), 12), col("l"), col("p"), 16).as("topk"))
+      .explain("formatted")
+
     println("==== substring-dedup census: window explode -> count+min(packed key) agg ====")
     // mirrors Dedup.dedupSubstrings' heavy half: one explode of O(tokens)
     // occurrence rows into a map-side-combinable census — the same
