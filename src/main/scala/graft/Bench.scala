@@ -110,7 +110,13 @@ object Bench {
     "q_anchor_text",
     // TrustRank spam mass (two PageRank jobs + one join) and the one-row
     // degree-tail MLE
-    "q_spam_mass", "q_powerlaw")
+    "q_spam_mass", "q_powerlaw",
+    // round-3 batch 3: incremental WCC (snapshot + warm-started rerun — the
+    // recrawl path; cost ≈ 1 cold WCC + a 2-superstep warm run), the
+    // h-operator core decomposition (3 rounds, LabelRank-class per round),
+    // CCNet unigram-LM scoring (two term aggregates + per-doc mean), and
+    // SemDeDup (the q_kmeans model + within-cluster pair mining)
+    "q_wcc_incremental", "q_coreness", "q_lm_score", "q_semdedup")
 
   private val HeadlinePasses = 3
 

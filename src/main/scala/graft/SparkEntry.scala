@@ -171,9 +171,29 @@ object SparkEntry {
       graft.core.MetricsLedger.record("q_wcc", r.metrics.size)
       r.components
     }),
+    "q_wcc_incremental" -> ((s, dir) => {
+      // recrawl path: components from an 80%-edge snapshot warm-start HashMin
+      // on the full graph — the fixpoint is provably identical (oracle = the
+      // same recursive-CTE WCC as q_wcc), the superstep count collapses to
+      // the hop distance between merged old components (ledger-recorded)
+      val full = ePS(s, dir)
+      val prev = graft.alg.ConnectedComponents.run(
+        full.filter((col("src") + col("dst")) % 10 < 8)).components
+      val r = graft.alg.ConnectedComponents.run(full, warmStart = Some(prev))
+      graft.core.MetricsLedger.record("q_wcc_incremental", r.metrics.size)
+      r.components
+    }),
     "q_component_sizes" -> ((s, dir) =>
       graft.alg.ConnectedComponents.componentSizes(
         graft.alg.ConnectedComponents.run(ePS(s, dir)).components)),
+    "q_coreness" -> ((s, dir) => {
+      // FULL core decomposition (h-operator iteration) pinned to 3 rounds so
+      // the DuckDB oracle unrolls; convergence-to-exact-peeling is
+      // spec-tested (CoresSpec h-operator fixpoint tests)
+      val r = graft.alg.Cores.coreness(eMOD(s, dir), maxRounds = 3)
+      graft.core.MetricsLedger.record("q_coreness", r.metrics.size)
+      r.coreness
+    }),
     "q_triangles" -> ((s, dir) =>
       graft.alg.TriangleCount.perVertex(eMOD(s, dir))),
     "q_clustering_coeff" -> ((s, dir) =>
@@ -422,6 +442,23 @@ object SparkEntry {
     "q_reciprocity" -> ((s, dir) =>
       // link-graph symmetry statistic on the directed mod graph
       graft.core.Graph.reciprocity(eMOD(s, dir))),
+    "q_lm_score" -> ((s, dir) =>
+      // CCNet-style unigram-LM scoring: model trained on the corpus itself,
+      // per-doc mean token log-prob + head/middle/tail bucket (thresholds
+      // pinned at this corpus's terciles; production derives them from an
+      // approxQuantile sketch of a prior run)
+      TextAnalysis.unigramLogProb(documents(s, dir), "doc_id", "text",
+        headThreshold = -3.401, middleThreshold = -3.42)),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means buckets (same k=4/3-iteration model the oracle
+      // unrolls for q_kmeans) + within-cluster cosine ≥ 0.3 pair mining,
+      // min-id keeper — the clustered form of embedding dedup that avoids
+      // the O(n²) all-pairs scan at corpus scale
+      val emb = embeddings(s, dir)
+      val m = graft.ann.KMeans.run(emb, k = 4, iters = 3)
+      graft.ann.Ann.semDedup(emb, m.assignments, threshold = 0.3)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"), col("keep"))
+    }),
     "q_tfidf" -> ((s, dir) =>
       // top-5 keywords per document by smoothed TF-IDF — two map-side-
       // combinable aggregates + a term-keyed join + per-doc window
@@ -889,6 +926,58 @@ object SparkEntry {
       SELECT und.dst, reach.r FROM reach JOIN und ON reach.v = und.src
     )
     SELECT v AS vid, MIN(r) AS component FROM reach GROUP BY v"""
+
+  /** Unrolled h-operator core decomposition: s0 = degree, then per round the
+   * neighbor-value histogram, its per-vertex running count over DISTINCT
+   * values desc, and h = max(min(value, #neighbors with value ≥ it)) —
+   * exactly the window-free-per-neighbor h-index form of
+   * [[graft.alg.Cores.coreness]]. */
+  private def corenessSql(rounds: Int): String = {
+    val body = (1 to rounds).map { k =>
+      s"""
+      , m$k AS (SELECT und.src AS vid, s.c AS val FROM und JOIN s${k - 1} s ON und.dst = s.vid),
+      h$k AS (SELECT vid, val, SUM(cnt) OVER (PARTITION BY vid ORDER BY val DESC) AS cum
+              FROM (SELECT vid, val, COUNT(*) AS cnt FROM m$k GROUP BY vid, val)),
+      s$k AS MATERIALIZED (SELECT vid, CAST(MAX(LEAST(cum, val)) AS BIGINT) AS c
+                           FROM h$k GROUP BY vid)"""
+    }.mkString
+    s"""
+      WITH e0 AS ($SqlEMOD),
+      und AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      s0 AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS c FROM und GROUP BY src)$body
+      SELECT vid, c AS coreness FROM s$rounds"""
+  }
+
+  /** Unigram-LM scoring: the model CTE is the corpus term-frequency table;
+   * per-token ln rounds at 9, the per-doc mean at 6 — the exact float path
+   * of [[TextAnalysis.unigramLogProb]]. */
+  private def lmScoreSql(headThreshold: Double, middleThreshold: Double): String = s"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TOK')) AS term
+                  FROM documents),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    sc AS (SELECT doc_id, ROUND(ln(cnt * 1.0 / total), 9) AS lp
+           FROM toks JOIN freq USING (term) CROSS JOIN tot),
+    d AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, avg_logprob,
+      CASE WHEN avg_logprob >= $headThreshold THEN 'head'
+           WHEN avg_logprob >= $middleThreshold THEN 'middle'
+           ELSE 'tail' END AS ppl_bucket
+    FROM d"""
+
+  /** SemDeDup: the q_kmeans assignment chain + within-cluster cosine pairs;
+   * drop = a smaller-id near-duplicate exists in the same cluster. */
+  private def semDedupSql(k: Int, iters: Int, threshold: Double): String =
+    s"""${kmeansCtes(k, iters)},
+      asg AS MATERIALIZED (SELECT a.vec_id, a.cid, p.e FROM afinal a JOIN p USING (vec_id)),
+      dropped AS (SELECT DISTINCT b.vec_id
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9)
+          >= $threshold)
+      SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, (d.vec_id IS NULL) AS keep
+      FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""
 
   private def componentSizesSql: String = s"""
     WITH RECURSIVE e0 AS ($SqlEPS),
@@ -1825,7 +1914,13 @@ object SparkEntry {
       lvl AS (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v)
       SELECT root AS vid, CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d) AS closeness FROM lvl GROUP BY root""",
     "q_wcc" -> wccSql,
+    // warm start provably reaches the SAME fixpoint (min vertex id per
+    // component) — the cold-start oracle IS the incremental oracle
+    "q_wcc_incremental" -> wccSql,
     "q_component_sizes" -> componentSizesSql,
+    "q_coreness" -> corenessSql(rounds = 3),
+    "q_lm_score" -> lmScoreSql(headThreshold = -3.401, middleThreshold = -3.42),
+    "q_semdedup" -> semDedupSql(k = 4, iters = 3, threshold = 0.3),
     "q_triangles" -> trianglesSql,
     "q_clustering_coeff" -> clusteringSql,
     "q_bfs" -> bfsSql,

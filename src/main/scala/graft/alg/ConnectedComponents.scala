@@ -47,12 +47,23 @@ object ConnectedComponents {
    * bytes with the jump) — enable it for high-diameter inputs (meshes,
    * chains, road networks) where label distance, not graph distance,
    * dominates round count. */
+  /** `warmStart`: a previous snapshot's (vid, component) assignment — the
+   * recrawl path (mirror of `PageRank.warmStart`): labels initialize to the
+   * OLD component minimum instead of the vertex's own id. Any valid snapshot
+   * label satisfies comp(x) ≤ x with comp(x) a member of x's component, so
+   * the HashMin fixpoint — the minimum vertex id per (new) component — is
+   * unchanged, but initial label DISTANCES shrink to the hop count between
+   * merged old components: on a graph that mostly kept its structure the
+   * loop converges in a couple of supersteps instead of O(label diameter).
+   * Vertices absent from the snapshot (newly crawled) start at their own id;
+   * snapshot rows for vertices no longer in the graph are ignored. */
   def run(edges: DataFrame,
           checkpointDir: Option[String] = None,
           resume: Boolean = false,
           maxSupersteps: Int = 200,
           denseThreshold: Double = 0.1,
           pointerJump: Boolean = false,
+          warmStart: Option[DataFrame] = None,
           verbose: Boolean = false): Result = {
     val und = Graph.undirected(edges)
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
@@ -65,9 +76,21 @@ object ConnectedComponents {
 
     // state: (vid, comp, changed, deg) — deg rides along so the per-superstep
     // frontier stats are a scan of the cached state, not a join against degs
-    val init = degs
-      .select(col(Graph.VID), col(Graph.VID).as("comp"), lit(true).as("changed"),
-        col("deg"))
+    val init = warmStart match {
+      case Some(prev) =>
+        // one vid-keyed hash join before the loop; least() guards against a
+        // stale label larger than the vertex id (an invalid snapshot row
+        // can delay but never corrupt the fixpoint)
+        degs.join(
+            prev.select(col(Graph.VID), col("component").as("__pc")).hint("shuffle_hash"),
+            Seq(Graph.VID), "left")
+          .select(col(Graph.VID),
+            least(col(Graph.VID), coalesce(col("__pc"), col(Graph.VID))).as("comp"),
+            lit(true).as("changed"), col("deg"))
+      case None => degs
+        .select(col(Graph.VID), col(Graph.VID).as("comp"), lit(true).as("changed"),
+          col("deg"))
+    }
 
     // frontier stats (Σ frontier degrees, frontier size) of the CURRENT
     // state: computed once on the init frame, then re-probed at the END of

@@ -144,6 +144,37 @@ object Ann {
       .select(col(id), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): k-means the embedding
+   * corpus, then mine cosine-≥ τ duplicate pairs ONLY within each cluster —
+   * the clustering is what makes semantic dedup tractable at corpus scale
+   * (all-pairs is O(n²); within-cluster is O(Σ |cluster|²) with k chosen so
+   * clusters fit the budget, the same bucketed-pairs contract as
+   * [[cosineNearDupPairs]] with learned buckets instead of random planes).
+   * Keeper rule: a row is dropped iff a SAME-CLUSTER near-duplicate with a
+   * smaller id exists (deterministic min-id representative; the paper keeps
+   * the member farthest from the centroid — representative choice does not
+   * change the kept-set size, and min-id is cross-engine checkable).
+   *
+   * Returns (id, cid, keep) for every corpus row. `assignments` must carry
+   * (id, cid) — pass `KMeans.run(corpus, k, iters).assignments` (kept as an
+   * explicit argument so the trained model can be reused across runs).
+   */
+  def semDedup(corpus: DataFrame, assignments: DataFrame, threshold: Double,
+               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val assigned = corpus.join(assignments.select(col(id), col("cid")), id)
+    val dropped = assigned.select(col("cid"), col(id).as("id_a"), col(vec).as("va"))
+      .join(assigned.select(col("cid"), col(id).as("id_b"), col(vec).as("vb")), "cid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 9) >= threshold)
+      .select(col("id_b").as(id)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.select(col(id), col("cid"))
+      .join(dropped, Seq(id), "left")
+      .select(col(id), col("cid"), col("__drop").isNull.as("keep"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold — O(n²) baseline for tests/oracles. */
   def bruteForceNearDupPairs(corpus: DataFrame, threshold: Double,
                              id: String = "vec_id", vec: String = "embedding"): DataFrame =

@@ -112,6 +112,50 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style unigram-LM quality scoring (Wenzek et al. 2020 use a KenLM
+   * 5-gram; the unigram model is the same pipeline shape with the LM
+   * training step kept in-engine): train token log-probabilities ON the
+   * corpus itself, score every document by its mean token log-prob (a
+   * monotone proxy for perplexity: ppl = exp(−avg_logprob)), and bucket
+   * head / middle / tail at the given thresholds — in production the
+   * thresholds come from `stat_approx_quantile`-style sketches of a prior
+   * run (CCNet cuts at the 33rd/67th percentile); they are explicit
+   * parameters here so the cut is deterministic and cross-engine checkable.
+   *
+   * Scale shape: token explode → one (term) hash aggregate (map-side
+   * combinable) for the model; corpus total folded back as a one-row
+   * broadcast; scoring is a term-keyed join of tokens against the model —
+   * the vocabulary can outgrow a broadcast at corpus scale, so the shuffle
+   * join is the default and AQE upgrades small vocabularies — then one
+   * per-doc hash aggregate. No windows, no UDFs. Per-token log-probs round
+   * at 9 and the per-doc mean at 6, so the DuckDB oracle (same expressions,
+   * `ln` both engines) hashes identically.
+   *
+   * Output: (id, n_tokens, avg_logprob, ppl_bucket).
+   */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                     headThreshold: Double, middleThreshold: Double): org.apache.spark.sql.DataFrame = {
+    require(headThreshold > middleThreshold,
+      "bucket thresholds must satisfy headThreshold > middleThreshold")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(allMatches(lower(col(textCol)), "[^ \\t\\n\\r]+")).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.select(sum("cnt").as("total"))
+    val scored = toks
+      .join(freq, "term")
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        round(log(col("cnt") * lit(1.0) / col("total")), 9).as("lp"))
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("lp") / count(lit(1)), 6).as("avg_logprob"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_logprob"),
+        when(col("avg_logprob") >= headThreshold, lit("head"))
+          .when(col("avg_logprob") >= middleThreshold, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /**
    * Top-k terms per document by smoothed TF-IDF
    * (tf · (ln((N+1)/(df+1)) + 1), the sklearn smoothing) over lowercased
    * whitespace tokens — the keyword/topic-signal extractor of a curation

@@ -17,6 +17,29 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(10L -> true, 11L -> false, 12L -> true))
   }
+  test("semDedup: within-cluster min-id keeper; clusters bound the pair scan") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),      // cluster 0
+      (1L, Array(0.95f, 0.05f, 0f)),// cluster 0, near-dup of 0 -> dropped
+      (2L, Array(0.9f, 0.1f, 0f)),  // cluster 0, near-dup of 0 and 1 -> dropped
+      (3L, Array(0f, 1f, 0f)),      // cluster 1
+      (4L, Array(0f, 0f, 1f))       // cluster 1: orthogonal to 3, kept —
+                                    // and a near-dup of nothing in cluster 0
+    ).toDF("vec_id", "embedding")
+    val assignments = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("vec_id", "cid")
+    val got = Ann.semDedup(emb, assignments, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> false, 3L -> true, 4L -> true))
+    // cluster blindness is the documented contract: a cross-cluster twin is
+    // NOT dropped (that's what makes the scan O(sum cluster^2), not O(n^2))
+    val twin = Seq((5L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got2 = Ann.semDedup(emb.union(twin),
+        assignments.union(Seq((5L, 1)).toDF("vec_id", "cid")), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got2(5L), "cross-cluster near-dup must survive by construction")
+  }
+
   import spark.implicits._
 
   private lazy val corpus = {

@@ -19,6 +19,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == 6)
   }
 
+  test("unigram LM scoring: hand-computed log-probs, buckets, threshold edge") {
+    // corpus counts: a=2, b=2, c=1 of 5 total
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpA = r9(math.log(2.0 / 5)); val lpC = r9(math.log(1.0 / 5))
+    val want0 = r6((lpA * 3) / 3)          // -0.916291
+    val want1 = r6((lpA + lpC) / 2)        // -1.262864
+    // headThreshold exactly at doc 0's score: >= is head (boundary is head)
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text",
+        headThreshold = want0, middleThreshold = -1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(got(0L) == ((3L, want0, "head")))
+    assert(got(1L) == ((2L, want1, "tail")))
+    // middle band
+    val mid = TextAnalysis.unigramLogProb(docs, "doc_id", "text",
+        headThreshold = -0.5, middleThreshold = -1.0)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(mid == Map(0L -> "middle", 1L -> "tail"))
+  }
+
   test("language id picks marker-dominant language; CJK shortcut; und fallback") {
     val df = Seq(
       ("the cat and the dog is here", "en"),
