@@ -171,6 +171,14 @@ object SparkEntry {
       graft.core.MetricsLedger.record("q_wcc", r.metrics.size)
       r.components
     }),
+    "q_crawl_diff" -> ((s, dir) => {
+      // recrawl edge delta on the same snapshot split q_wcc_incremental
+      // warm-starts from: old = 80% of E_PS by edge-hash, new = full E_PS
+      // (plus the 20% "removed" direction tested by swapping roles on the
+      // modular graph in GraphOpsSpec)
+      val full = ePS(s, dir)
+      Graph.snapshotDiff(full.filter((col("src") + col("dst")) % 10 < 8), full)
+    }),
     "q_wcc_incremental" -> ((s, dir) => {
       // recrawl path: components from an 80%-edge snapshot warm-start HashMin
       // on the full graph — the fixpoint is provably identical (oracle = the
@@ -442,6 +450,35 @@ object SparkEntry {
     "q_reciprocity" -> ((s, dir) =>
       // link-graph symmetry statistic on the directed mod graph
       graft.core.Graph.reciprocity(eMOD(s, dir))),
+    "q_c4_filter" -> ((s, dir) => {
+      // C4 line+document cleaning. The documents table carries no newlines,
+      // so line structure is synthesized ARITHMETICALLY (the q_host_graph
+      // pattern — the oracle rebuilds the same text): tokens chunked into
+      // 8-word lines, line i terminated by (doc_id+i)%4 → . ! ∅ ? ; every
+      // 17th doc gains a lorem-ipsum line, every 23rd a code line. The REAL
+      // operator (Curation.c4Stats) then runs identically in both engines.
+      val toks = regexp_extract_all(col("text"), lit(TOK), lit(0))
+      val nLines = ceil(size(toks) / lit(8.0)).cast("int")
+      def term(i: Column): Column = {
+        val m = (col("doc_id") + i) % 4
+        when(m === 0, ".").when(m === 1, "!").when(m === 2, "").otherwise("?")
+      }
+      val lines = transform(sequence(lit(0), nLines - 1), i =>
+        concat(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))), term(i)))
+      val lorem = when(col("doc_id") % 17 === 0,
+        array(lit("lorem ipsum dolor sit amet qui minim veniam culpa.")))
+        .otherwise(array().cast("array<string>"))
+      val brace = when(col("doc_id") % 23 === 0,
+        array(lit("function f() { return 1; }")))
+        .otherwise(array().cast("array<string>"))
+      val text2 = array_join(concat(lines, lorem, brace), "\n")
+      documents(s, dir)
+        .select(col("doc_id"), graft.text.Curation.c4Stats(text2).as("c"))
+        .select(col("doc_id"), col("c.n_lines").as("n_lines"),
+          col("c.n_kept").as("n_kept"), col("c.has_lorem").as("has_lorem"),
+          col("c.has_brace").as("has_brace"), col("c.keep").as("keep"),
+          md5(col("c.clean")).as("clean_md5"))
+    }),
     "q_lm_score" -> ((s, dir) =>
       // CCNet-style unigram-LM scoring: model trained on the corpus itself,
       // per-doc mean token log-prob + head/middle/tail bucket (thresholds
@@ -965,6 +1002,39 @@ object SparkEntry {
            WHEN avg_logprob >= $middleThreshold THEN 'middle'
            ELSE 'tail' END AS ppl_bucket
     FROM d"""
+
+  /** C4 cleaning over the arithmetically-synthesized multi-line corpus —
+   * the construction (8-token lines, (doc_id+i)%4 terminators, lorem/brace
+   * injections) and the line/doc rules mirror q_c4_filter exactly. */
+  private def c4FilterSql: String = s"""
+    WITH base AS (SELECT doc_id, regexp_extract_all(text, '$TOK') AS toks FROM documents),
+    built AS (SELECT doc_id, list_concat(list_concat(
+        list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)), i ->
+          concat(array_to_string(toks[i*8+1:i*8+8], ' '),
+            CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                                  WHEN 2 THEN '' ELSE '?' END)),
+        CASE WHEN doc_id % 17 = 0
+             THEN ['lorem ipsum dolor sit amet qui minim veniam culpa.']
+             ELSE [] END),
+        CASE WHEN doc_id % 23 = 0
+             THEN ['function f() { return 1; }'] ELSE [] END) AS lines
+      FROM base),
+    t AS (SELECT doc_id, array_to_string(lines, chr(10)) AS text2 FROM built),
+    stats AS (SELECT doc_id,
+        len(string_split(text2, chr(10))) AS n_lines,
+        list_filter(string_split(text2, chr(10)), x ->
+          regexp_matches(rtrim(x), '[.!?"]$$')
+          AND len(regexp_extract_all(x, '[^ \\t]+')) >= 5
+          AND NOT contains(lower(x), 'javascript')) AS kept,
+        contains(lower(text2), 'lorem ipsum') AS has_lorem,
+        contains(text2, '{') AS has_brace
+      FROM t)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept, has_lorem, has_brace,
+      (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
+      -- DuckDB array_to_string([]) is NULL (Spark array_join([]) is '')
+      md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+    FROM stats"""
 
   /** SemDeDup: the q_kmeans assignment chain + within-cluster cosine pairs;
    * drop = a smaller-id near-duplicate exists in the same cluster. */
@@ -1917,6 +1987,15 @@ object SparkEntry {
     // warm start provably reaches the SAME fixpoint (min vertex id per
     // component) — the cold-start oracle IS the incremental oracle
     "q_wcc_incremental" -> wccSql,
+    "q_crawl_diff" -> s"""
+      WITH n AS (SELECT src, dst FROM ($SqlEPS) t),
+      o AS (SELECT src, dst FROM n WHERE (src + dst) % 10 < 8)
+      SELECT COALESCE(o.src, n.src) AS src, COALESCE(o.dst, n.dst) AS dst,
+        CASE WHEN o.src IS NULL THEN 'added'
+             WHEN n.src IS NULL THEN 'removed'
+             ELSE 'kept' END AS status
+      FROM o FULL OUTER JOIN n ON o.src = n.src AND o.dst = n.dst""",
+    "q_c4_filter" -> c4FilterSql,
     "q_component_sizes" -> componentSizesSql,
     "q_coreness" -> corenessSql(rounds = 3),
     "q_lm_score" -> lmScoreSql(headThreshold = -3.401, middleThreshold = -3.42),

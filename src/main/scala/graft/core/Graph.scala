@@ -98,6 +98,23 @@ object Graph {
           .as("reciprocity"))
   }
 
+  /** Crawl-to-crawl edge delta: which links appeared, vanished, or
+   * persisted between two snapshots of the link graph — the input signal
+   * for incremental recrawl analytics (`PageRank.warmStart`,
+   * `ConnectedComponents.run(warmStart=…)` consume the new snapshot; this
+   * reports WHAT changed). One co-partitioned (src,dst)-keyed full-outer
+   * hash join — both sides shuffle once on the same key, no window, no
+   * driver state. Output: (src, dst, status ∈ added|removed|kept). */
+  def snapshotDiff(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    val o = oldEdges.select(col(SRC), col(DST)).distinct().withColumn("__o", lit(true))
+    val n = newEdges.select(col(SRC), col(DST)).distinct().withColumn("__n", lit(true))
+    o.join(n, Seq(SRC, DST), "full_outer")
+      .select(col(SRC), col(DST),
+        when(col("__o").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** MLE fit of the out-degree tail's power-law exponent — the standard
    * web-graph summary statistic (α ≈ 2.1 for the crawled web):
    * Clauset-Shalizi-Newman discrete approximation over degrees ≥ dmin,

@@ -105,4 +105,39 @@ object Curation {
     }
     sampleByWeight(df, id, w)
   }
+
+  /** C4 line-keep rule (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
+   * Corpus" heuristics): a line survives iff it ends in a terminal
+   * punctuation mark (. ! ? "), has at least `minWords` words, and does not
+   * mention javascript. Pure codegen'd boolean — usable standalone as a
+   * filter predicate over pre-split lines. */
+  def c4LineKeep(line: Column, minWords: Int = 5): Column =
+    rtrim(line).rlike("[.!?\"]$") &&
+      size(regexp_extract_all(line, lit("[^ \\t]+"), lit(0))) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /**
+   * C4 document cleaning: split on newlines, keep lines by [[c4LineKeep]],
+   * and apply the document-level rules — drop documents with fewer than
+   * `minKeptLines` surviving lines ("fewer than 3 sentences"), any
+   * "lorem ipsum" placeholder text, or a curly brace (code). Returns a
+   * struct (n_lines, n_kept, has_lorem, has_brace, keep, clean) where
+   * `clean` is the kept lines re-joined — everything is array/lambda
+   * Column expressions inside whole-stage codegen: per-document work only,
+   * no shuffle, no UDF, applied in the same scan as the rest of the
+   * quality columns.
+   */
+  def c4Stats(text: Column, minWords: Int = 5, minKeptLines: Int = 3): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => c4LineKeep(l, minWords))
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (size(kept) >= minKeptLines && !hasLorem && !hasBrace).as("keep"),
+      array_join(kept, "\n").as("clean"))
+  }
 }

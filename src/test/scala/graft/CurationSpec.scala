@@ -55,4 +55,32 @@ class CurationSpec extends SparkSpec {
     assert(Curation.hashSample(df, col("doc_id"), 0.0).count() == 0)
     assert(Curation.hashSample(df, col("doc_id"), 1.0).count() == 2000)
   }
+
+  test("C4 line and document rules on hand documents") {
+    val docs = Seq(
+      // 1 good line of 5: short, few words, no terminal, javascript
+      (0L, "This is a good long sentence here.\nshort one.\nno terminal punctuation on this line\n" +
+        "tiny.\nthis javascript line is long enough to pass."),
+      // 3 good lines -> document kept
+      (1L, "One decent sentence with enough words here.\nAnother decent sentence with enough words!\n" +
+        "A third keeper line with plenty of words?"),
+      // 3 good lines but lorem ipsum -> dropped
+      (2L, "One decent sentence with enough words here.\nAnother decent sentence with enough words!\n" +
+        "we include lorem ipsum boilerplate in this line."),
+      // 3 good lines but a brace -> dropped
+      (3L, "One decent sentence with enough words here.\nAnother decent sentence with enough words!\n" +
+        "var f = function() { return 1; } and padding.")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Curation.c4Stats(col("text")).as("c"))
+      .select(col("doc_id"), col("c.n_lines"), col("c.n_kept"), col("c.keep"), col("c.clean"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))))
+      .toMap
+    assert(got(0L) == ((5L, 1L, false, "This is a good long sentence here.")))
+    assert(got(1L)._1 == 3L && got(1L)._2 == 3L && got(1L)._3)
+    assert(got(1L)._4.linesIterator.size == 3)
+    assert(got(2L)._2 == 3L && !got(2L)._3, "lorem ipsum drops the doc")
+    // the brace line itself passes the LINE rule (ends in '.'), but the
+    // document rule rejects the page: has_brace
+    assert(got(3L)._2 == 3L && !got(3L)._3)
+  }
 }

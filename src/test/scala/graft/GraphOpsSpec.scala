@@ -259,4 +259,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(loops == Map((0L, 1L) -> 2L, (1L, 0L) -> 1L,
       (0L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
+
+  test("snapshotDiff: added, removed, kept edges between two crawls") {
+    import spark.implicits._
+    val old = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val neu = Seq((0L, 1L), (2L, 3L), (3L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.snapshotDiff(old, neu).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == Map((0L, 1L) -> "kept", (1L, 2L) -> "removed",
+      (2L, 3L) -> "kept", (3L, 4L) -> "added"))
+    // identical snapshots: everything kept
+    assert(Graph.snapshotDiff(old, old).collect().forall(_.getString(2) == "kept"))
+  }
 }
