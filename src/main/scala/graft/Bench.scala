@@ -117,9 +117,10 @@ object Bench {
     // CCNet unigram-LM scoring (two term aggregates + per-doc mean), and
     // SemDeDup (the q_kmeans model + within-cluster pair mining)
     "q_wcc_incremental", "q_coreness", "q_lm_score", "q_semdedup",
-    // crawl edge delta (one full-outer hash join) and C4 cleaning (pure
-    // array/lambda codegen over the synthesized multi-line corpus)
-    "q_crawl_diff", "q_c4_filter")
+    // crawl edge delta (one full-outer hash join), C4 cleaning (pure
+    // array/lambda codegen over the synthesized multi-line corpus), and the
+    // PageRank recrawl warm start (5 snapshot rounds + 3 warm supersteps)
+    "q_crawl_diff", "q_c4_filter", "q_pagerank_warm")
 
   private val HeadlinePasses = 3
 

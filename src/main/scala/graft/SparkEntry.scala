@@ -127,6 +127,20 @@ object SparkEntry {
       graft.core.MetricsLedger.record("q_pagerank", r.metrics.size)
       r.ranks.select(col("vid"), round(col("rank"), 6).as("rank"))
     }),
+    "q_pagerank_warm" -> ((s, dir) => {
+      // recrawl warm start for PageRank: 5 reference rounds on the 80%-edge
+      // snapshot seed the convergence-mode iteration on the full graph for
+      // exactly 3 supersteps (tol=0 never fires, delta ≥ 0) — the oracle
+      // unrolls the same 5+3 rounds, so the warm path gets a hash check,
+      // not just PageRankSpec's contraction argument
+      val full = eMOD(s, dir)
+      val warm = graft.alg.PageRank.run(
+        full.filter((col("src") + col("dst")) % 10 < 8)).ranks
+      val r = graft.alg.PageRank.runUntilConverged(full, tol = 0.0,
+        maxIter = 3, warmStart = Some(warm))
+      graft.core.MetricsLedger.record("q_pagerank_warm", r.metrics.size)
+      r.ranks.select(col("vid"), round(col("rank"), 6).as("rank"))
+    }),
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank from the 5 smallest vertex ids (deterministic
       // seed choice expressible in the oracle; the collect is O(seeds))
@@ -854,6 +868,59 @@ object SparkEntry {
       , r$k AS (SELECT vid, deg, ${divide.replace("t$K", s"t$k")} AS stored FROM t$k)"""
     }.mkString
     init + rounds + "\n      SELECT vid, ROUND(stored, 6) AS rank FROM r5"
+  }
+
+  /** Warm-start PageRank unrolled: 5 reference rounds ([[pagerankSql]]
+   * structure) on the 80%-edge snapshot produce the warm vector; then
+   * `warmRounds` convergence-mode updates on the full graph — init stored =
+   * warm/deg (full-graph out-degree; vertices absent from the snapshot
+   * start at 1/V_full), each round value = (1-d)/V + d·Σ stored, stored =
+   * value/deg. Mirrors q_pagerank_warm's 5+3 arithmetic exactly. */
+  private def pagerankWarmSql(warmRounds: Int): String = {
+    val init = s"""
+      WITH e AS ($SqlEMOD),
+      eo AS (SELECT src, dst FROM e WHERE (src + dst) % 10 < 8),
+      vo AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM eo UNION ALL SELECT dst AS vid FROM eo)),
+      nvo AS (SELECT COUNT(*) AS n FROM vo),
+      dgo AS (SELECT src AS vid, COUNT(*) AS deg FROM eo GROUP BY src),
+      vdo AS (SELECT vo.vid, COALESCE(dgo.deg, 0) AS deg FROM vo LEFT JOIN dgo ON vo.vid = dgo.vid),
+      s0 AS (SELECT vid, deg, 1.0 / (SELECT n FROM nvo) AS stored FROM vdo)"""
+    val warm = (1 to 5).map { k =>
+      val divide =
+        if (k < 5) s"CASE WHEN u$k.deg > 0 THEN u$k.value / u$k.deg ELSE u$k.value END"
+        else s"u$k.value"
+      s"""
+      , u$k AS (
+        SELECT vdo.vid, vdo.deg,
+          (1.0 - 0.85) / (SELECT n FROM nvo) + 0.85 * COALESCE(s.m, 0.0) AS value
+        FROM vdo LEFT JOIN (
+          SELECT eo.dst AS vid, SUM(p.stored) AS m FROM eo JOIN s${k - 1} p ON eo.src = p.vid GROUP BY eo.dst
+        ) s ON vdo.vid = s.vid)
+      , s$k AS (SELECT vid, deg, $divide AS stored FROM u$k)"""
+    }.mkString
+    val fullInit = s"""
+      , v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      nv AS (SELECT COUNT(*) AS n FROM v),
+      dg AS (SELECT src AS vid, COUNT(*) AS deg FROM e GROUP BY src),
+      vd AS (SELECT v.vid, COALESCE(dg.deg, 0) AS deg FROM v LEFT JOIN dg ON v.vid = dg.vid),
+      w0 AS (SELECT vd.vid, vd.deg,
+        CASE WHEN vd.deg > 0
+             THEN COALESCE(s5.stored, 1.0 / (SELECT n FROM nv)) / vd.deg
+             ELSE COALESCE(s5.stored, 1.0 / (SELECT n FROM nv)) END AS stored
+        FROM vd LEFT JOIN s5 ON vd.vid = s5.vid)"""
+    val rounds = (1 to warmRounds).map { k =>
+      s"""
+      , x$k AS (
+        SELECT vd.vid, vd.deg,
+          (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * COALESCE(s.m, 0.0) AS value
+        FROM vd LEFT JOIN (
+          SELECT e.dst AS vid, SUM(p.stored) AS m FROM e JOIN w${k - 1} p ON e.src = p.vid GROUP BY e.dst
+        ) s ON vd.vid = s.vid)
+      , w$k AS (SELECT vid, deg,
+          CASE WHEN deg > 0 THEN value / deg ELSE value END AS stored, value FROM x$k)"""
+    }.mkString
+    init + warm + fullInit + rounds +
+      s"\n      SELECT vid, ROUND(value, 6) AS rank FROM w$warmRounds"
   }
 
   /** Katz centrality unrolled: x_k(v) = α·Σ_{u→v}(1 + x_{k-1}(u)), x_0 = 0 —
@@ -1892,6 +1959,7 @@ object SparkEntry {
       SELECT CAST(hs.h AS INTEGER) AS h, CAST(COUNT(*) AS BIGINT) AS n_reach, TRUE AS anf_ok
       FROM hs JOIN lvl ON lvl.d <= hs.h GROUP BY hs.h""",
     "q_pagerank" -> pagerankSql,
+    "q_pagerank_warm" -> pagerankWarmSql(warmRounds = 3),
     "q_ppr" -> pprSql(rounds = 5, nSeeds = 5),
     "q_spam_mass" -> s"""
       WITH pr AS (${pagerankSql}),
