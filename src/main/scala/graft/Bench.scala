@@ -120,7 +120,10 @@ object Bench {
     // crawl edge delta (one full-outer hash join), C4 cleaning (pure
     // array/lambda codegen over the synthesized multi-line corpus), and the
     // PageRank recrawl warm start (5 snapshot rounds + 3 warm supersteps)
-    "q_crawl_diff", "q_c4_filter", "q_pagerank_warm")
+    "q_crawl_diff", "q_c4_filter", "q_pagerank_warm",
+    // the end-to-end curation chain (dedup → lang → quality → cap → split →
+    // accounting) as one fused plan — the library's flagship composition
+    "q_pipeline")
 
   private val HeadlinePasses = 3
 

@@ -525,6 +525,31 @@ object SparkEntry {
       graft.text.Curation.capPerKey(
         documents(s, dir), col("source"), col("doc_id"), k = 5)
         .select(col("doc_id"), col("source"))),
+    "q_group_split" -> ((s, dir) =>
+      // leakage-safe train/holdout split keyed on the SOURCE hash (stand-in
+      // for host/domain): same-source docs — the likeliest near-duplicates
+      // — can never straddle the split
+      graft.text.Curation.groupSplit(documents(s, dir), col("source"), 0.25)
+        .select(col("doc_id"), col("source"), col("split"))),
+    "q_pipeline" -> ((s, dir) => {
+      // the END-TO-END curation chain as ONE declarative plan: exact dedup
+      // → language filter → quality floor → per-source cap → leakage-safe
+      // group split → per-(source, split) corpus accounting. Every stage is
+      // the same operator verified on its own row; Catalyst fuses the
+      // scan-side stages (dedup hash, lang-id, quality and token counts all
+      // compute in one scan) and the only shuffles are the dedup groupBy,
+      // the bounded two-phase cap, and the final aggregate.
+      val d = documents(s, dir)
+      val deduped = graft.dedup.Dedup.dedupExact(d)
+      val en = deduped.filter(TextAnalysis.langId(col("text")) === "en")
+      val good = en.filter(TextAnalysis.qualityScore(col("text")) >= 0.7)
+      val capped = graft.text.Curation.capPerKey(
+        good, col("source"), col("doc_id"), k = 30)
+      graft.text.Curation.groupSplit(capped, col("source"), 0.25)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+    }),
     "q_hash_sample" -> ((s, dir) =>
       // deterministic 25% Bernoulli by md5 prefix; 0.25 * 2^32 = 0x40000000
       // exactly, so the oracle's lexicographic hex compare is equivalent
@@ -1210,6 +1235,33 @@ object SparkEntry {
       + 0.1 * (CASE WHEN len(regexp_extract_all(lower(text), '\\b$stop\\b')) > 0 THEN 1.0 ELSE 0.5 END)
     , 6) AS quality FROM documents"""
   }
+
+  /** End-to-end curation chain: exact-dedup keeper → lang-id = en →
+   * quality ≥ 0.7 (the ROUNDED score both engines agree on) → per-source
+   * cap-30 by (md5, id) → md5(source)-keyed split → (source, split)
+   * accounting. Each CTE reuses the stage's standalone oracle verbatim. */
+  private def pipelineSql: String = s"""
+    WITH lang AS ($langIdSql),
+    qual AS ($qualitySql),
+    keep AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM documents GROUP BY 1),
+    d0 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT keeper FROM keep)),
+    d1 AS (SELECT d0.* FROM d0 JOIN lang ON d0.doc_id = lang.doc_id
+           WHERE lang.lang_pred = 'en'),
+    d2 AS (SELECT d1.* FROM d1 JOIN qual ON d1.doc_id = qual.doc_id
+           WHERE qual.quality >= 0.7),
+    d3 AS (SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn FROM d2),
+    d4 AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '$TOK')) AS BIGINT) AS tokens
+           FROM d3 WHERE rn <= 30),
+    sp AS (SELECT source,
+             CASE WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) < 1073741824
+                  THEN 'holdout' ELSE 'train' END AS split, tokens
+           FROM d4)
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(tokens) AS BIGINT) AS tokens
+    FROM sp GROUP BY source, split"""
 
   private def minhashSigSql: String = {
     val mins = (0 until 8).map(i => s"MIN(md5('$i' || '|' || sh)) AS h$i").mkString(", ")
@@ -2113,6 +2165,14 @@ object SparkEntry {
         FROM documents) WHERE rn <= 5""",
     "q_hash_sample" ->
       "SELECT doc_id FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'",
+    // group-keyed split: the threshold compare is on md5(source) — the
+    // GROUP's hash, never the row's — 0.25 * 2^32 = 1073741824
+    "q_group_split" -> """
+      SELECT doc_id, source,
+        CASE WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) < 1073741824
+             THEN 'holdout' ELSE 'train' END AS split
+      FROM documents""",
+    "q_pipeline" -> pipelineSql,
     "q_top_ngram" -> s"""
       WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
       grams AS (SELECT doc_id, length(array_to_string(t, ' ')) AS joined_len,

@@ -106,6 +106,28 @@ object Curation {
     sampleByWeight(df, id, w)
   }
 
+  /**
+   * Leakage-safe train/holdout split: the side is decided by the hash of a
+   * GROUP key (host, domain, source, dedup-cluster id), never the row id,
+   * so documents sharing a group — the rows most likely to be near
+   * duplicates of each other — can never straddle the split. This is the
+   * standard guard against train→eval contamination that a row-level
+   * Bernoulli split cannot give. Deterministic (same md5 family as
+   * [[hashSample]]), partitioning-invariant, pure codegen'd projection: no
+   * shuffle, no state, safe at any corpus size. P(holdout) ≈
+   * `holdoutFraction` per GROUP — row shares skew with group sizes, which
+   * is inherent to any group-keyed split.
+   */
+  def groupSplit(df: DataFrame, groupKey: Column,
+                 holdoutFraction: Double): DataFrame = {
+    require(holdoutFraction >= 0.0 && holdoutFraction <= 1.0,
+      s"holdoutFraction must be in [0,1], got $holdoutFraction")
+    df.withColumn("split",
+      when(hashPosition(groupKey) <
+             lit((holdoutFraction * 4294967296.0).toLong), lit("holdout"))
+        .otherwise(lit("train")))
+  }
+
   /** C4 line-keep rule (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
    * Corpus" heuristics): a line survives iff it ends in a terminal
    * punctuation mark (. ! ? "), has at least `minWords` words, and does not

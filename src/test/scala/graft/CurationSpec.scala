@@ -56,6 +56,25 @@ class CurationSpec extends SparkSpec {
     assert(Curation.hashSample(df, col("doc_id"), 1.0).count() == 2000)
   }
 
+  test("groupSplit: sides are group-pure, deterministic, edge fractions") {
+    val df = (0L until 2000L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+    val got = Curation.groupSplit(df, col("source"), 0.25)
+    // every group lands entirely on one side
+    val sides = got.groupBy("source").agg(countDistinct("split").as("k"))
+      .collect().map(_.getLong(1))
+    assert(sides.forall(_ == 1L))
+    // deterministic across invocations; both sides non-empty at 7 groups
+    assert(got.collect().toSet == Curation.groupSplit(df, col("source"), 0.25).collect().toSet)
+    val bySide = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.getOrElse("holdout", 0L) > 0 && bySide.getOrElse("train", 0L) > 0)
+    // fraction edges: 0 -> all train, 1 -> all holdout
+    assert(Curation.groupSplit(df, col("source"), 0.0)
+      .filter(col("split") === "holdout").count() == 0)
+    assert(Curation.groupSplit(df, col("source"), 1.0)
+      .filter(col("split") === "train").count() == 0)
+  }
+
   test("C4 line and document rules on hand documents") {
     val docs = Seq(
       // 1 good line of 5: short, few words, no terminal, javascript
