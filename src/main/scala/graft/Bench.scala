@@ -96,7 +96,9 @@ object Bench {
     // and corpus-level boilerplate mining (two aggs + TakeOrdered)
     "q_substring_dedup", "q_corpus_ngrams",
     // 3-round Louvain local moves on the modular graph (LabelRank-class)
-    "q_louvain",
+    // and 3-round Spinner balanced k-way LPA partitioning (same shape plus
+    // a k-row broadcast load join)
+    "q_louvain", "q_spinner",
     // embedding clustering (driver-held centers, one codegen'd argmin pass
     // + capped-update shuffle) and second-order biased walk sampling
     "q_kmeans", "q_node2vec",

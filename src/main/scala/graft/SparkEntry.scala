@@ -655,6 +655,11 @@ object SparkEntry {
       // LouvainSpec against a driver-side reference)
       graft.alg.Louvain.localMoves(
         graft.alg.Louvain.symmetrize(eMOD(s, dir)), rounds = 3)),
+    "q_spinner" -> ((s, dir) =>
+      // Spinner balanced k-way LPA partitioning, 3 parity-gated rounds at
+      // k = 4 — edge-cut-aware partition assignment (SpinnerSpec holds the
+      // exact driver-side-reference parity and the clique-separation test)
+      graft.core.Spinner.partition(eMOD(s, dir), k = 4, rounds = 3)),
     "q_sample_edges" -> ((s, dir) =>
       graft.core.Graph.sampleEdges(eMOD(s, dir), 0.3)),
     "q_neighbor_sample" -> ((s, dir) =>
@@ -1414,6 +1419,42 @@ object SparkEntry {
       s0 AS (SELECT vid, vid AS comm FROM deg),
       ${(0 until rounds).map(one).mkString(",")}
       SELECT vid, comm FROM s$rounds"""
+  }
+
+  /** Spinner balanced LPA partitioning unrolled to `rounds` — the SQL
+   * mirror of `core.Spinner.partition` (init vid % k; per round: k-row
+   * load aggregate, neighbor-partition weights, affinity + linear load
+   * penalty rounded to 9 dp, argmax with smallest-cand tiebreak, parity
+   * gate). capacity = 1.05 * totalDeg / k with the same left-associative
+   * double arithmetic as the Scala driver constant. */
+  private def spinnerSql(k: Int, rounds: Int): String = {
+    val cap = s"(1.05 * (SELECT t FROM tot) / $k)"
+    def one(r: Int): String = s"""
+      ld$r AS (SELECT s.part AS cand, SUM(d.deg) AS load
+               FROM s$r s JOIN deg d USING (vid) GROUP BY 1),
+      ev$r AS (SELECT u.src AS vid, s.part AS cand, CAST(COUNT(*) AS DOUBLE) AS w
+               FROM und u JOIN s$r s ON s.vid = u.dst GROUP BY 1, 2),
+      cand$r AS (SELECT vid, cand, SUM(w) AS w FROM (
+                   SELECT vid, cand, w FROM ev$r
+                   UNION ALL SELECT vid, part AS cand, 0.0 AS w FROM s$r)
+                 GROUP BY 1, 2),
+      sc$r AS (SELECT c.vid, c.cand,
+                ROUND(c.w / d.deg + 1.0 * (1.0 - l.load / $cap), 9) AS score
+               FROM cand$r c JOIN deg d USING (vid) JOIN ld$r l USING (cand)),
+      b$r AS (SELECT vid, cand, row_number() OVER (
+                PARTITION BY vid ORDER BY score DESC, cand ASC) AS rn
+              FROM sc$r),
+      s${r + 1} AS (SELECT s.vid,
+                CASE WHEN s.vid % 2 = ${r % 2} THEN b.cand ELSE s.part END AS part
+              FROM s$r s JOIN b$r b ON b.vid = s.vid AND b.rn = 1)"""
+    s"""
+      WITH e AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+      deg AS (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY 1),
+      tot AS (SELECT SUM(deg) AS t FROM deg),
+      s0 AS (SELECT vid, vid % $k AS part FROM deg),
+      ${(0 until rounds).map(one).mkString(",")}
+      SELECT vid, part FROM s$rounds"""
   }
 
   private def labelRankSql(iterations: Int): String = {
@@ -2255,6 +2296,7 @@ object SparkEntry {
       SELECT src % 25 AS src, dst % 25 AS dst, COUNT(*) AS weight
       FROM e WHERE src % 25 != dst % 25 GROUP BY 1, 2""",
     "q_louvain" -> louvainSql(3),
+    "q_spinner" -> spinnerSql(4, 3),
     "q_host_rank" -> hostRankSql,
     "q_sample_edges" -> s"""
       WITH e AS ($SqlEMOD)
