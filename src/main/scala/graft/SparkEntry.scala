@@ -275,6 +275,12 @@ object SparkEntry {
       // FW-BW-Trim over the block-structured sparse digraph: trivial
       // periphery exercises Trim, the per-block cycles the coloring+sweep
       graft.alg.StronglyConnected.run(eSCC(s, dir))),
+    "q_topo_layers" -> ((s, dir) =>
+      // crawl-order view of the mixed-SCC digraph: SCC → condensation →
+      // longest-path layering; layer k = components whose longest chain of
+      // inter-component links from any source has k hops (DagSpec holds
+      // closed forms + a driver-side transitive-closure reference)
+      graft.alg.Dag.topoLayers(eSCC(s, dir))),
     "q_bowtie" -> ((s, dir) =>
       // Broder macro-structure census (CORE/IN/OUT/TUBE/TENDRIL/DISC) of
       // the same mixed-SCC digraph: SCC + four batched reachability sweeps
@@ -660,6 +666,12 @@ object SparkEntry {
       // k = 4 — edge-cut-aware partition assignment (SpinnerSpec holds the
       // exact driver-side-reference parity and the clique-separation test)
       graft.core.Spinner.partition(eMOD(s, dir), k = 4, rounds = 3)),
+    "q_conductance" -> ((s, dir) =>
+      // partition-quality audit of the Spinner assignment: per-part cut /
+      // min-side volume (the objective Cheeger bounds) — composes the two
+      // operators the way a user scores a partitioning
+      graft.core.Partitioning.conductance(eMOD(s, dir),
+        graft.core.Spinner.partition(eMOD(s, dir), k = 4, rounds = 3))),
     "q_sample_edges" -> ((s, dir) =>
       graft.core.Graph.sampleEdges(eMOD(s, dir), 0.3)),
     "q_neighbor_sample" -> ((s, dir) =>
@@ -2081,6 +2093,40 @@ object SparkEntry {
       SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.w), v.vid)) AS scc
       FROM v LEFT JOIN mutual m ON v.vid = m.v
       GROUP BY v.vid""",
+    "q_topo_layers" -> s"""
+      WITH RECURSIVE e AS MATERIALIZED ($SqlESCC),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      reach(a, b) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+      ),
+      mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      scc AS MATERIALIZED (SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.w), v.vid)) AS scc
+             FROM v LEFT JOIN mutual m ON v.vid = m.v GROUP BY v.vid),
+      cond AS MATERIALIZED (SELECT DISTINCT s1.scc AS a, s2.scc AS b
+             FROM e JOIN scc s1 ON e.src = s1.vid JOIN scc s2 ON e.dst = s2.vid
+             WHERE s1.scc <> s2.scc),
+      lp(c, d) AS (
+        SELECT DISTINCT scc, 0 FROM scc
+        UNION
+        SELECT cd.b, lp.d + 1 FROM lp JOIN cond cd ON lp.c = cd.a
+      )
+      SELECT c AS scc, CAST(MAX(d) AS BIGINT) AS layer FROM lp GROUP BY c""",
+    "q_conductance" -> s"""
+      WITH sp AS MATERIALIZED (SELECT * FROM (${spinnerSql(4, 3)}) t),
+      e AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+      tagged AS (SELECT p1.part AS ps, p2.part AS pd FROM und u
+        JOIN sp p1 ON u.src = p1.vid JOIN sp p2 ON u.dst = p2.vid),
+      byp AS (SELECT ps AS part,
+               CAST(SUM(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS BIGINT) AS cut,
+               CAST(COUNT(*) AS BIGINT) AS vol FROM tagged GROUP BY 1),
+      tot AS (SELECT SUM(vol) AS t FROM byp)
+      SELECT part, cut, vol,
+        CASE WHEN vol = (SELECT t FROM tot) THEN 0.0
+             ELSE ROUND(cut / LEAST(vol, (SELECT t FROM tot) - vol), 6) END AS conductance
+      FROM byp""",
     "q_bowtie" -> s"""
       WITH RECURSIVE e AS MATERIALIZED ($SqlESCC),
       v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),

@@ -61,6 +61,39 @@ object Partitioning {
   def salt(key: Column, factor: Int): Column =
     concat(key.cast("string"), lit("#"), pmod(spark_partition_id(), lit(factor)).cast("string"))
 
+  /** Per-partition conductance φ(S) = cut(S) / min(vol(S), vol(V∖S)) of a
+   * vertex→part assignment — the partition-quality dual of [[modularity]]
+   * (low conductance = few escaping edges relative to the smaller side's
+   * edge mass; the objective bounded by Cheeger's inequality). `parts` has
+   * columns (vid, part); the graph is treated as undirected (both directed
+   * slots of every edge counted, self-loops dropped — the [[Spinner]]
+   * convention, so this scores its output directly). Vertices without a
+   * part assignment are excluded (inner joins). One edge-sized double join
+   * + one k-row aggregate; no windows, no collects beyond the k-row result.
+   *
+   * Returns (part, cut, vol, conductance) with conductance rounded to 6 dp
+   * (cross-engine float contract); a part holding all edge mass (vol =
+   * total) reports conductance 0. */
+  def conductance(edges: DataFrame, parts: DataFrame): DataFrame = {
+    val sym = edges.select(col(Graph.SRC), col(Graph.DST))
+      .union(edges.select(col(Graph.DST).as(Graph.SRC), col(Graph.SRC).as(Graph.DST)))
+      .filter(col(Graph.SRC) =!= col(Graph.DST))
+      .distinct()
+    val tagged = sym
+      .join(parts.select(col(Graph.VID).as(Graph.SRC), col("part").as("__ps")), Graph.SRC)
+      .join(parts.select(col(Graph.VID).as(Graph.DST), col("part").as("__pd")), Graph.DST)
+    val byPart = tagged.groupBy(col("__ps").as("part"))
+      .agg(sum(when(col("__ps") =!= col("__pd"), 1L).otherwise(0L)).as("cut"),
+        count(lit(1)).as("vol"))
+    // total vol via a window-free broadcast: one 1-row cross join
+    val total = byPart.agg(sum("vol").as("__tot"))
+    byPart.crossJoin(broadcast(total))
+      .select(col("part"), col("cut"), col("vol"),
+        when(col("vol") === col("__tot"), lit(0.0)) // lone part: no outside
+          .otherwise(round(col("cut") / least(col("vol"), col("__tot") - col("vol")), 6))
+          .as("conductance"))
+  }
+
   /** Newman-Girvan modularity Q of a vertex→part assignment —
    * `partition_modularity` (`totem_partition.cu:109-140`).
    * `parts` has columns (vid, part). Expects a symmetrized edge table. */

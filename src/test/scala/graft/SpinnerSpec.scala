@@ -77,6 +77,28 @@ class SpinnerSpec extends SparkSpec {
     assert(math.abs(cutSpin - 2.0 / 114.0) < 1e-12, s"cut $cutSpin")
   }
 
+  test("conductance closed form on the converged two-clique partition") {
+    val cliqueA = for (i <- 0 until 8; j <- i + 1 until 8) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 0 until 8; j <- i + 1 until 8)
+      yield (9L + 2 * i, 9L + 2 * j)
+    val edges = (cliqueA ++ cliqueB :+ (7L, 9L)).toDF("src", "dst")
+    val parts = Spinner.partition(edges, k = 2, rounds = 6)
+    val rows = graft.core.Partitioning.conductance(edges, parts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // per side: vol = 56 clique slots + 1 bridge slot, cut = the bridge slot;
+    // φ = 1 / min(57, 114 − 57) on both sides
+    assert(rows.length == 2)
+    rows.foreach { case (_, cut, vol, phi) =>
+      assert(cut == 1L && vol == 57L)
+      assert(math.abs(phi - BigDecimal(1.0 / 57.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // the lone-part guard: everything in one part → φ = 0, not a div-by-zero
+    val one = parts.select(col("vid"), lit(0L).as("part"))
+    val lone = graft.core.Partitioning.conductance(edges, one).collect()
+    assert(lone.length == 1 && lone(0).getDouble(3) == 0.0)
+  }
+
   test("partitioning-invariant and deterministic") {
     val g = (0L until 200L).map(i => (i % 50, (i * 11 + 2) % 50)).filter(p => p._1 != p._2)
     val df = g.toDF("src", "dst")
