@@ -123,6 +123,10 @@ object Bench {
     // array/lambda codegen over the synthesized multi-line corpus), and the
     // PageRank recrawl warm start (5 snapshot rounds + 3 warm supersteps)
     "q_crawl_diff", "q_c4_filter", "q_pagerank_warm",
+    // crawl-order DAG view (SCC + condensation + longest-path layering —
+    // roughly q_scc plus one short max-relaxation BSP loop) and the
+    // partition-quality audit (q_spinner plus two vid-keyed joins + k-row agg)
+    "q_topo_layers", "q_conductance",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")
