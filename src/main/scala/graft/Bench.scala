@@ -127,6 +127,9 @@ object Bench {
     // roughly q_scc plus one short max-relaxation BSP loop) and the
     // partition-quality audit (q_spinner plus two vid-keyed joins + k-row agg)
     "q_topo_layers", "q_conductance",
+    // bipartite 4-cycle census (one right-pivot wedge join + two aggs;
+    // exact/uncapped on the part–supplier graph — ~29M wedge rows at sf0.1)
+    "q_butterflies",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")

@@ -289,6 +289,10 @@ object SparkEntry {
       // link prediction on the bipartite part–supplier graph: top pairs =
       // parts sharing suppliers / suppliers sharing parts
       graft.alg.LinkPrediction.adamicAdarTopK(ePS(s, dir), k = 50)),
+    "q_butterflies" -> ((s, dir) =>
+      // bipartite 4-cycle census per part: exact (uncapped) for the oracle;
+      // the maxPivotDegree hub valve is the scale path (ButterflySpec)
+      graft.alg.Butterfly.perVertex(ePS(s, dir))),
     "q_kcore" -> ((s, dir) =>
       graft.alg.Cores.kCore(eMOD(s, dir), k = 8)),
     "q_ktruss" -> ((s, dir) =>
@@ -2169,6 +2173,18 @@ object SparkEntry {
         FROM nonedge ne JOIN dg ON ne.w = dg.w GROUP BY ne.a, ne.b)
       SELECT a, b, common_n, ROUND(aa, 6) AS adamic_adar FROM scored
       ORDER BY ROUND(aa, 6) DESC, a, b LIMIT 50""",
+    "q_butterflies" -> s"""
+      WITH e AS MATERIALIZED ($SqlEPS),
+      nbr AS (SELECT dst AS w, src AS x FROM e),
+      pc AS (SELECT n1.x AS a, n2.x AS b, COUNT(*) AS c
+             FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.x < n2.x
+             GROUP BY n1.x, n2.x HAVING COUNT(*) >= 2),
+      bf AS (SELECT a, b, (c * (c - 1)) // 2 AS bf FROM pc),
+      pv AS (SELECT v, CAST(SUM(bf) AS BIGINT) AS butterflies
+             FROM (SELECT a AS v, bf FROM bf UNION ALL SELECT b AS v, bf FROM bf)
+             GROUP BY v)
+      SELECT l.v AS vid, COALESCE(p.butterflies, 0) AS butterflies
+      FROM (SELECT DISTINCT src AS v FROM e) l LEFT JOIN pv p ON l.v = p.v""",
     "q_apsp_sample" -> s"""
       WITH RECURSIVE e0 AS ($SqlEMOD),
       und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
