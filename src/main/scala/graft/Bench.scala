@@ -130,6 +130,10 @@ object Bench {
     // bipartite 4-cycle census (one right-pivot wedge join + two aggs;
     // exact/uncapped on the part–supplier graph — ~29M wedge rows at sf0.1)
     "q_butterflies",
+    // sequence packing: one bucket-keyed shuffle + a streaming in-partition
+    // fold — the order-dependent scan, benched to price the mapPartitions exit
+    // from codegen
+    "q_pack",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")

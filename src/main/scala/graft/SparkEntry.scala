@@ -541,6 +541,14 @@ object SparkEntry {
       // — can never straddle the split
       graft.text.Curation.groupSplit(documents(s, dir), col("source"), 0.25)
         .select(col("doc_id"), col("source"), col("split"))),
+    "q_pack" -> ((s, dir) =>
+      // sequence packing: whitespace-token counts folded contiguous-greedy
+      // into ≤512-token training sequences within 8 deterministic hash
+      // buckets — the one order-dependent per-bucket scan in the library
+      graft.text.Curation.packSequences(
+        documents(s, dir), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), capTokens = 512, buckets = 8)
+        .select(col("id").as("doc_id"), col("bucket"), col("bin"))),
     "q_pipeline" -> ((s, dir) => {
       // the END-TO-END curation chain as ONE declarative plan: exact dedup
       // → language filter → quality floor → per-source cap → leakage-safe
@@ -2275,6 +2283,22 @@ object SparkEntry {
         CASE WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) < 1073741824
              THEN 'holdout' ELSE 'train' END AS split
       FROM documents""",
+    "q_pack" -> s"""
+      WITH RECURSIVE d AS MATERIALIZED (
+        SELECT doc_id AS id,
+          CAST(len(regexp_extract_all(text, '$TOK')) AS BIGINT) AS tokens,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+        FROM documents),
+      o AS MATERIALIZED (SELECT id, tokens, bucket,
+        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) AS rn FROM d),
+      rec(bucket, rn, id, bin, s) AS (
+        SELECT bucket, rn, id, CAST(0 AS BIGINT), tokens FROM o WHERE rn = 1
+        UNION ALL
+        SELECT nxt.bucket, nxt.rn, nxt.id,
+          CASE WHEN r.s + nxt.tokens > 512 THEN r.bin + 1 ELSE r.bin END,
+          CASE WHEN r.s + nxt.tokens > 512 THEN nxt.tokens ELSE r.s + nxt.tokens END
+        FROM rec r JOIN o nxt ON nxt.bucket = r.bucket AND nxt.rn = r.rn + 1)
+      SELECT id AS doc_id, bucket, bin FROM rec""",
     "q_pipeline" -> pipelineSql,
     "q_top_ngram" -> s"""
       WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),

@@ -162,4 +162,68 @@ object Curation {
       (size(kept) >= minKeptLines && !hasLorem && !hasBrace).as("keep"),
       array_join(kept, "\n").as("clean"))
   }
+
+  /**
+   * Sequence packing — assign documents to training sequences ("bins") of
+   * at most `capTokens` tokens, the batching step every LLM training
+   * pipeline runs between curation and tokenized-shard writing. Documents
+   * are first scattered into `buckets` deterministic hash buckets
+   * ([[hashPosition]] mod buckets), then packed CONTIGUOUS-GREEDY in id
+   * order within each bucket: a document that would overflow the open bin
+   * closes it and starts the next (an oversize document > capTokens gets a
+   * bin of its own). Returns one row per document: (id, bucket, bin) with
+   * bin numbering starting at 0 per bucket — (bucket, bin) is the global
+   * sequence key.
+   *
+   * Scale shape: packing is inherently sequential, so the parallelism unit
+   * is the bucket — size `buckets` to the cluster (e.g. 10⁵ buckets over
+   * 10¹² docs keeps ~10⁷ docs per sequential scan) and each bucket is
+   * packed by a STREAMING O(1)-memory fold: one shuffle to co-locate each
+   * bucket (`repartition(bucket)` + in-partition sort), then a single
+   * `mapPartitions` pass that never materializes the bucket. The fold is
+   * the one genuinely order-dependent scan in this library, which is why
+   * it is per-partition imperative code rather than a window: a window
+   * cannot express the data-dependent running-sum reset, and a
+   * `collect_list` per bucket would materialize the whole bucket in one
+   * row. Deterministic and partitioning-invariant: bucket membership and
+   * in-bucket order depend only on ids.
+   *
+   * `id` must cast to long (the cross-engine in-bucket order key).
+   */
+  def packSequences(df: DataFrame, id: Column, tokens: Column,
+                    capTokens: Long, buckets: Int): DataFrame = {
+    require(capTokens > 0, s"capTokens must be positive, got $capTokens")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), tokens.cast("long").as("tokens"))
+      .withColumn("bucket", pmod(hashPosition(col("id")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // several buckets can share a partition (hash of bucket id); the
+        // (bucket, id) sort makes each a contiguous run — reset on change
+        var curBucket = -1L; var bin = 0L; var acc = 0L
+        var first = true
+        it.map { case (docId, t, b) =>
+          if (first || b != curBucket) {
+            curBucket = b; bin = 0L; acc = t; first = false
+          } else if (acc + t > capTokens) {
+            bin += 1; acc = t
+          } else acc += t
+          (docId, b, bin)
+        }
+      }
+      .toDF("id", "bucket", "bin")
+  }
+
+  /** Per-sequence utilization of a [[packSequences]] assignment joined back
+   * to the token counts: (bucket, bin, n_docs, seq_tokens, fill). */
+  def packedBinStats(packed: DataFrame, tokens: DataFrame,
+                     capTokens: Long): DataFrame =
+    packed.join(tokens, Seq("id"))
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("seq_tokens"))
+      .withColumn("fill", round(col("seq_tokens") / lit(capTokens.toDouble), 6))
 }
