@@ -134,6 +134,9 @@ object Bench {
     // fold — the order-dependent scan, benched to price the mapPartitions exit
     // from codegen
     "q_pack",
+    // one-pass degree statistics: rich-club (two tiny histograms + a 17-row
+    // range join) and Gini via the distributed global rank
+    "q_rich_club", "q_degree_gini",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")

@@ -120,6 +120,14 @@ object SparkEntry {
     "q_assortativity" -> ((s, dir) =>
       Graph.assortativity(eMOD(s, dir))
         .select(round(col("assortativity"), 6).as("assortativity"))),
+    "q_rich_club" -> ((s, dir) =>
+      // do the modular graph's hubs interlink more than chance — two tiny
+      // histograms range-joined against the 17-row k frame
+      Graph.richClub(eMOD(s, dir), maxK = 16)),
+    "q_degree_gini" -> ((s, dir) =>
+      // attention inequality of the degree sequence via the distributed
+      // global rank (range partition + broadcast prefix sum, no global window)
+      Graph.degreeGini(eMOD(s, dir))),
 
     // ---- algorithms (§2.3) ----
     "q_pagerank" -> ((s, dir) => {
@@ -2048,6 +2056,31 @@ object SparkEntry {
       dg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src)
       SELECT ROUND(corr(da.deg, db.deg), 6) AS assortativity
       FROM und JOIN dg da ON und.src = da.vid JOIN dg db ON und.dst = db.vid""",
+    "q_rich_club" -> s"""
+      WITH e AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+      u2 AS (SELECT src, dst FROM und WHERE src <> dst),
+      deg AS (SELECT src AS vid, COUNT(*) AS deg FROM u2 GROUP BY src),
+      eh AS (SELECT LEAST(d1.deg, d2.deg) AS m, COUNT(*) AS cnt
+             FROM u2 u JOIN deg d1 ON u.src = d1.vid JOIN deg d2 ON u.dst = d2.vid
+             WHERE u.src < u.dst GROUP BY 1),
+      dh AS (SELECT deg AS d, COUNT(*) AS cnt FROM deg GROUP BY 1),
+      ks AS (SELECT range AS k FROM range(0, 17)),
+      nk AS (SELECT k, COALESCE(SUM(dh.cnt), 0) AS n_k FROM ks LEFT JOIN dh ON dh.d > ks.k GROUP BY k),
+      ek AS (SELECT k, COALESCE(SUM(eh.cnt), 0) AS e_k FROM ks LEFT JOIN eh ON eh.m > ks.k GROUP BY k)
+      SELECT nk.k, CAST(nk.n_k AS BIGINT) AS n_k, CAST(ek.e_k AS BIGINT) AS e_k,
+        CASE WHEN nk.n_k < 2 THEN 0.0
+             ELSE ROUND(2.0 * ek.e_k / (nk.n_k * (nk.n_k - 1)), 6) END AS phi
+      FROM nk JOIN ek ON nk.k = ek.k""",
+    "q_degree_gini" -> s"""
+      WITH e AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+      u2 AS (SELECT src, dst FROM und WHERE src <> dst),
+      deg AS (SELECT src AS vid, COUNT(*) AS deg FROM u2 GROUP BY src),
+      r AS (SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, vid) AS i FROM deg)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        ROUND(2.0 * SUM(i * deg) / (COUNT(*) * SUM(deg)) - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+      FROM r""",
     "q_ecc_sample" -> s"""
       WITH RECURSIVE e0 AS ($SqlEMOD),
       und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),

@@ -299,6 +299,59 @@ object Graph {
       .agg(corr(col("__da"), col("__db")).as("assortativity"))
     out
   }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for k = 0..maxK,
+   * where N_k = vertices of undirected degree > k and E_k = undirected
+   * edges with BOTH endpoints of degree > k (Zhou & Mondragón 2004) — do
+   * the web's hubs link to each other more than chance. Plan: everything
+   * collapses to two tiny histograms (edge min-endpoint-degree and degree
+   * counts), range-joined against the (maxK+1)-row k frame — the edge table
+   * is scanned once, the k loop never touches it. Returns
+   * (k, n_k, e_k, phi) with φ rounded to 6 (0.0 when N_k < 2). */
+  def richClub(edges: DataFrame, maxK: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    val und = undirected(edges).filter(col(SRC) =!= col(DST))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = outDegrees(und)
+    // canonical edge (a<b) with m = min endpoint degree; both histograms
+    // are O(distinct degrees) rows — broadcast-sized at any graph scale
+    val edgeHist = und.filter(col(SRC) < col(DST))
+      .join(deg.select(col(VID).as(SRC), col("deg").as("__da")), SRC)
+      .join(deg.select(col(VID).as(DST), col("deg").as("__db")), DST)
+      .groupBy(least(col("__da"), col("__db")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val degHist = deg.groupBy(col("deg").as("d")).agg(count(lit(1)).as("cnt"))
+    val ks = spark.range(0, maxK + 1L).select(col("id").as("k"))
+    val nk = ks.join(broadcast(degHist), col("d") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum("cnt"), lit(0L)).as("n_k"))
+    val ek = ks.join(broadcast(edgeHist), col("m") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum("cnt"), lit(0L)).as("e_k"))
+    nk.join(ek, Seq("k"))
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") < 2L, lit(0.0))
+          .otherwise(round(lit(2.0) * col("e_k") / (col("n_k") * (col("n_k") - 1L)), 6))
+          .as("phi"))
+  }
+
+  /** Gini coefficient of the undirected degree sequence — the standard
+   * inequality summary of a crawl graph's attention distribution
+   * (0 = uniform, →1 = a few hubs own every link). With degrees sorted
+   * ascending and 1-based rank i: G = 2·Σ i·dᵢ / (n·Σd) − (n+1)/n. The
+   * rank is [[Ranking.globalRank]] — a range repartition + per-partition
+   * window + broadcast prefix sum, never a single-task global window; ties
+   * cannot affect Σ i·dᵢ (equal values commute), so the vid tiebreak is for
+   * determinism only. Σ i·dᵢ is exact in long up to n·Σd < 2^63. Returns
+   * one row (n_vertices, gini) rounded to 6. */
+  def degreeGini(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).filter(col(SRC) =!= col(DST))
+    val deg = outDegrees(und)
+    Ranking.globalRank(deg, Seq(col("deg"), col(VID)), "__r")
+      .agg(count(lit(1)).as("__n"), sum("deg").as("__s"),
+        sum((col("__r") + 1L) * col("deg")).as("__ws"))
+      .select(col("__n").as("n_vertices"),
+        round(lit(2.0) * col("__ws") / (col("__n") * col("__s"))
+          - (col("__n") + 1.0) / col("__n"), 6).as("gini"))
+  }
 }
 
 /**

@@ -271,4 +271,38 @@ class GraphOpsSpec extends SparkSpec {
     // identical snapshots: everything kept
     assert(Graph.snapshotDiff(old, old).collect().forall(_.getString(2) == "kept"))
   }
+
+  test("rich club: clique saturates at 1, star collapses past k=1") {
+    // K4: every degree 3 — φ(0..2) = 1.0, k ≥ 3 empties the club
+    val k4 = (for (i <- 0L until 4L; j <- i + 1 until 4L) yield (i, j)).toDF("src", "dst")
+    val rk4 = Graph.richClub(k4, maxK = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (k <- 0L to 2L) assert(rk4(k) == ((4L, 6L, 1.0)), s"k=$k: ${rk4(k)}")
+    assert(rk4(3L) == ((0L, 0L, 0.0)) && rk4(4L) == ((0L, 0L, 0.0)))
+    // star S4: φ(0) = 2n/((n+1)n) = 2/(n+1); k=1 leaves only the hub → 0
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val rs = Graph.richClub(star, maxK = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rs(0L) == ((5L, 4L, 0.4)) && rs(1L) == ((1L, 0L, 0.0)))
+  }
+
+  test("degree gini: 0 on a regular graph; star closed form; driver-side reference") {
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val rc = Graph.degreeGini(cycle).collect()(0)
+    assert(rc.getLong(0) == 6L && rc.getDouble(1) == 0.0)
+    // star S4: degrees [1,1,1,1,4] -> G = 3/2 − (n+2)/(n+1) = 0.3
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.degreeGini(star).collect()(0).getDouble(1) == 0.3)
+    // hashed graph vs driver-side formula
+    val es = (0L until 300L).map(i => ((i * 13 + 5) % 50, (i * 29 + 11) % 50))
+      .filter(p => p._1 != p._2)
+    val undirected = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val degs = undirected.groupBy(_._1).map(_._2.size.toLong).toSeq.sorted
+    val n = degs.size.toLong
+    val ws = degs.zipWithIndex.map { case (d, i) => (i + 1L) * d }.sum
+    val ref = BigDecimal(2.0 * ws / (n * degs.sum) - (n + 1.0) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Graph.degreeGini(es.toDF("src", "dst")).collect()(0)
+    assert(got.getLong(0) == n && math.abs(got.getDouble(1) - ref) < 2e-6)
+  }
 }
