@@ -238,6 +238,38 @@ object Explain {
       "doc_id", "text", n = 3, k = 50)
       .explain("formatted")
 
+    println("==== butterfly census: right-pivot wedge self-join -> per-pair agg ====")
+    val bip = edges.select(col("src"), (col("dst") % 512 + 1000000L).as("dst")).distinct()
+    graft.alg.Butterfly.perVertex(bip).explain("formatted")
+
+    println("==== sequence packing: ONE exchange + in-partition sort + mapPartitions ====")
+    graft.text.Curation.packSequences(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      col("doc_id"), length(col("text")) / 5, capTokens = 512, buckets = 8)
+      .explain("formatted")
+
+    println("==== DAG layering superstep: max scatter-reduce (WCC grammar) ====")
+    // mirrors one Dag.layers step: frontier join + explode + max agg + state
+    // update, shuffle_hash on both joins
+    val lstate = graft.core.Lineage.cut(Graph.vertices(edges)
+      .select(col("vid"), lit(0L).as("layer"), lit(true).as("changed"), lit(1L).as("deg")))
+    val lmsgs = adj.join(lstate.filter(col("changed")).hint("shuffle_hash"),
+        adj("src") === lstate("vid"))
+      .select(explode(col("nbrs")).as("vid"), (col("layer") + 1L).as("cand"))
+      .groupBy("vid").agg(max("cand").as("cand"))
+    lstate.select(col("vid"), col("layer"), col("deg"))
+      .join(lmsgs.hint("shuffle_hash"), Seq("vid"), "left")
+      .select(col("vid"),
+        greatest(col("layer"), coalesce(col("cand"), col("layer"))).as("layer"), col("deg"))
+      .explain("formatted")
+
+    println("==== conductance: symmetrize + 2 vid joins + k-row agg + 1-row broadcast ====")
+    val parts = Graph.vertices(edges).select(col("vid"), (col("vid") % 4).as("part"))
+    graft.core.Partitioning.conductance(edges, parts).explain("formatted")
+
+    println("==== rich club: two histograms + 17-row range join ====")
+    Graph.richClub(edges, maxK = 16).explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
