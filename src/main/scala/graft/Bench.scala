@@ -137,6 +137,12 @@ object Bench {
     // one-pass degree statistics: rich-club (two tiny histograms + a 17-row
     // range join) and Gini via the distributed global rank
     "q_rich_club", "q_degree_gini",
+    // round-3 close-out batch 2: eigenvector centrality (PageRank-class
+    // scatter + O(1)-row norm broadcast per round), delta-stepping SSSP
+    // (q_sssp's plan with a bucket-ordered frontier — prices the priority
+    // schedule vs plain Bellman-Ford on the same weighted graph), and
+    // exact-k weighted sampling (one TakeOrderedAndProject pass)
+    "q_eigenvector", "q_sssp_delta", "q_priority_sample",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")

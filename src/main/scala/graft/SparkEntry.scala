@@ -244,6 +244,18 @@ object SparkEntry {
       graft.core.MetricsLedger.record("q_sssp", r.metrics.size)
       r.state
     }),
+    "q_sssp_delta" -> ((s, dir) => {
+      // delta-stepping on the same weighted graph: the bucket-ordered
+      // frontier converges to the SAME exact distances as q_sssp (monotone
+      // min-relaxation is schedule-independent), so it shares the oracle —
+      // only the relaxation order/count differs (the scale story)
+      val e = eMOD(s, dir).withColumn("weight",
+        ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      val source = e.agg(min("src")).collect()(0).getLong(0)
+      val r = graft.alg.DeltaStepping.run(e, source, delta = 4.0)
+      graft.core.MetricsLedger.record("q_sssp_delta", r.metrics.size)
+      r.state
+    }),
     "q_label_prop" -> ((s, dir) =>
       // fixed 4 iterations (stable-count can't reach 5, so exactly 4 run):
       // same per-iteration LabelRank semantics as the reference, made
@@ -278,6 +290,13 @@ object SparkEntry {
       val r = graft.alg.Katz.run(eMOD(s, dir), rounds = 5, alpha = 0.1)
       graft.core.MetricsLedger.record("q_katz", r.metrics.size)
       r.scores.select(col("vid"), round(col("katz"), 6).as("katz"))
+    }),
+    "q_eigenvector" -> ((s, dir) => {
+      // power iteration with per-round L2 normalization — the last member
+      // of the walk-centrality family (PageRank/Katz/HITS/SALSA are here)
+      val r = graft.alg.Eigen.run(eMOD(s, dir), rounds = 5)
+      graft.core.MetricsLedger.record("q_eigenvector", r.metrics.size)
+      r.scores.select(col("vid"), round(col("eigen"), 6).as("eigen"))
     }),
     "q_scc" -> ((s, dir) =>
       // FW-BW-Trim over the block-structured sparse digraph: trivial
@@ -708,6 +727,14 @@ object SparkEntry {
           col("doc_id"),
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
         .select(col("doc_id"))),
+    "q_priority_sample" -> ((s, dir) =>
+      // exact-k weighted sample without replacement (Efraimidis-Spirakis
+      // A-Res), weight = document length: longer docs proportionally more
+      // likely, row budget exact — the fixed-size counterpart of
+      // q_stratified_sample's Bernoulli thresholds
+      graft.text.Curation.prioritySample(documents(s, dir), col("doc_id"),
+          length(col("text")) + lit(1), k = 100)
+        .select(col("doc_id"))),
     "q_pii" -> ((s, dir) => {
       // deterministic PII injection (email, IPv4, phone, arithmetic per
       // doc); BOTH engines then run their real regex engine over the same
@@ -1031,6 +1058,24 @@ object SparkEntry {
 
   /** HITS unrolled: per round, auth from previous hubs, hub from the FRESH
    * auths (textbook sequential update), both L2-normalized. */
+  private def eigenSql(rounds: Int): String = {
+    val init = s"""
+      WITH e AS ($SqlEMOD),
+      v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e)),
+      s0 AS (SELECT vid, 1.0 AS x FROM v)"""
+    val body = (1 to rounds).map { k =>
+      s"""
+      , m$k AS MATERIALIZED (SELECT v.vid, COALESCE(x.m, 0.0) AS m FROM v LEFT JOIN (
+          SELECT e.dst AS vid, SUM(p.x) AS m FROM e JOIN s${k - 1} p ON e.src = p.vid GROUP BY e.dst
+        ) x ON v.vid = x.vid)
+      , s$k AS MATERIALIZED (SELECT vid,
+          CASE WHEN (SELECT SQRT(SUM(m * m)) FROM m$k) > 0
+            THEN m / (SELECT SQRT(SUM(m * m)) FROM m$k) ELSE 0.0 END AS x
+        FROM m$k)"""
+    }.mkString
+    init + body + s"\n      SELECT vid, ROUND(x, 6) AS eigen FROM s$rounds"
+  }
+
   private def hitsSql(rounds: Int): String = {
     val init = s"""
       WITH e AS ($SqlEMOD),
@@ -2268,6 +2313,9 @@ object SparkEntry {
     "q_clustering_coeff" -> clusteringSql,
     "q_bfs" -> bfsSql,
     "q_sssp" -> ssspSql,
+    // delta-stepping reaches the identical fixpoint — same oracle by design
+    "q_sssp_delta" -> ssspSql,
+    "q_eigenvector" -> eigenSql(rounds = 5),
     "q_token_stats" -> s"""
       SELECT doc_id, CAST(len(regexp_extract_all(text, '$TOK')) AS BIGINT) AS tokens,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]')) AS BIGINT) AS subwords
@@ -2442,6 +2490,16 @@ object SparkEntry {
       WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         < FLOOR(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                             WHEN 'src2' THEN 0.25 ELSE 0.1 END * 4294967296.0)""",
+    // A-Res priority sampling: u = (hash position + 1)/2^32, key = u^(1/w),
+    // w = LENGTH(text)+1 — identical deterministic draw on both engines
+    "q_priority_sample" -> """
+      WITH u AS (SELECT doc_id,
+        (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+          / 4294967296.0 AS u,
+        LENGTH(text) + 1 AS w FROM documents)
+      SELECT doc_id FROM (
+        SELECT doc_id, POWER(u, 1.0 / w) AS pkey FROM u
+        ORDER BY pkey DESC, doc_id ASC LIMIT 100)""",
     "q_pii" -> s"""
       WITH t AS (SELECT doc_id,
         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'

@@ -107,6 +107,31 @@ object Curation {
   }
 
   /**
+   * Weighted sample WITHOUT replacement of exactly `k` rows (Efraimidis &
+   * Spirakis 2006 "A-Res" priority sampling): each row draws the
+   * deterministic uniform u = (hashPosition+1)/2³² ∈ (0,1] and is ranked by
+   * the key u^(1/w) — the top k keys are a weight-proportional sample, the
+   * exact fixed-size counterpart of the Bernoulli [[sampleByWeight]] (which
+   * cannot hit a row budget). `weight` must be positive (a token count, a
+   * quality score, an upsampling temperature).
+   *
+   * Scale/plan shape: `orderBy(key desc).limit(k)` compiles to
+   * TakeOrderedAndProject — a per-partition top-k heap with a driver merge
+   * of partitions·k rows, never a global sort/window. Deterministic across
+   * engines, runs, and partitionings (same md5 family as [[hashSample]];
+   * ties break on the id).
+   */
+  def prioritySample(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (hashPosition(id) + lit(1L)).cast("double") / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / weight.cast("double"))
+    df.withColumn("__pkey", key)
+      .orderBy(col("__pkey").desc, id.asc)
+      .limit(k)
+      .drop("__pkey")
+  }
+
+  /**
    * Leakage-safe train/holdout split: the side is decided by the hash of a
    * GROUP key (host, domain, source, dedup-cluster id), never the row id,
    * so documents sharing a group — the rows most likely to be near

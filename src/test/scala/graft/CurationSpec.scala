@@ -56,6 +56,38 @@ class CurationSpec extends SparkSpec {
     assert(Curation.hashSample(df, col("doc_id"), 1.0).count() == 2000)
   }
 
+  test("prioritySample: exact-k, matches the driver-side A-Res top-k, deterministic") {
+    val rows = (0 until 200).map(i => (i.toLong, (i % 13 + 1).toDouble))
+    val df = rows.toDF("doc_id", "w")
+    val got = Curation.prioritySample(df, col("doc_id"), col("w"), k = 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 40)
+    // driver-side oracle: same md5-derived u, same key u^(1/w)
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / 4294967296.0
+    }
+    val want = rows.map { case (id, w) => (id, math.pow(u(id), 1.0 / w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(40).map(_._1).toSet
+    assert(got == want)
+    val again = Curation.prioritySample(df.repartition(7), col("doc_id"), col("w"), k = 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == again, "partitioning must not change the sample")
+  }
+
+  test("prioritySample: weight dominance and k >= n degeneracy") {
+    // one row with overwhelming weight has key u^(1/w) ~ 1 — always sampled
+    val df = ((0 until 50).map(i => (i.toLong, 1.0)) :+ (99L, 1e12))
+      .toDF("doc_id", "w")
+    val got = Curation.prioritySample(df, col("doc_id"), col("w"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(99L))
+    val all = Curation.prioritySample(df, col("doc_id"), col("w"), k = 1000)
+    assert(all.count() == 51)
+  }
+
   test("groupSplit: sides are group-pure, deterministic, edge fractions") {
     val df = (0L until 2000L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
     val got = Curation.groupSplit(df, col("source"), 0.25)
