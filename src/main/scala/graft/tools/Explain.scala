@@ -270,6 +270,34 @@ object Explain {
     println("==== rich club: two histograms + 17-row range join ====")
     Graph.richClub(edges, maxK = 16).explain("formatted")
 
+    println("==== eigenvector round: scatter-reduce + O(1)-row norm broadcast ====")
+    val eraw = state.select(col("vid"), col("stored").as("m"))
+    val enorm = eraw.agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
+    eraw.crossJoin(broadcast(enorm))
+      .select(col("vid"),
+        when(col("nrm") > 0, col("m") / col("nrm")).otherwise(0.0).as("eigen"))
+      .explain("formatted")
+
+    println("==== delta-stepping relax: bucket-filtered frontier, sssp grammar ====")
+    val dwe = edges.withColumn("weight", ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      .persist()
+    dwe.count()
+    val dstate = Graph.vertices(edges)
+      .select(col("vid"), (col("vid") % 40).cast("double").as("dist"), lit(true).as("pending"))
+      .persist()
+    dstate.count()
+    val dfrontier = dstate.filter(col("pending") && col("dist") < 4.0)
+    dwe.join(dfrontier.hint("shuffle_hash"), dwe("src") === dfrontier("vid"))
+      .select(col("dst").as("vid"), (col("dist") + col("weight")).as("nd"))
+      .groupBy("vid").agg(min("nd").as("nd"))
+      .explain("formatted")
+
+    println("==== priority sample: TakeOrderedAndProject (no global sort) ====")
+    graft.text.Curation.prioritySample(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        col("doc_id"), length(col("text")) + lit(1), k = 100)
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
