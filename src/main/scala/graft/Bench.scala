@@ -143,6 +143,10 @@ object Bench {
     // schedule vs plain Bellman-Ford on the same weighted graph), and
     // exact-k weighted sampling (one TakeOrderedAndProject pass)
     "q_eigenvector", "q_sssp_delta", "q_priority_sample",
+    // bounded-memory sketch aggregation (Misra-Gries heavy hitters: per-task
+    // O(capacity) partials, ONE merge, no key-space shuffle) and the
+    // reproducible corpus permutation (distributed global rank)
+    "q_heavy_hitters", "q_shuffle",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")

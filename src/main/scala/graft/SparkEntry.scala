@@ -735,6 +735,23 @@ object SparkEntry {
       graft.text.Curation.prioritySample(documents(s, dir), col("doc_id"),
           length(col("text")) + lit(1), k = 100)
         .select(col("doc_id"))),
+    "q_shuffle" -> ((s, dir) =>
+      // reproducible global permutation of the corpus (training-data
+      // ordering): global rank under (md5(doc_id), doc_id) via the
+      // distributed range-repartition + prefix-sum rank — no global window
+      graft.text.Curation.shufflePositions(documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // top-20 users by event count through the bounded-memory Misra-Gries
+      // aggregate; capacity 4096 > distinct users at every verify/bench SF,
+      // so the sketch is in its exact regime (max_error = 0) and the plain
+      // GROUP BY oracle pins it; the approximate regime is spec-tested
+      val hh = events(s, dir).agg(graft.functions.HeavyHittersAgg
+        .heavyHitters(col("user_id").cast("string"), capacity = 4096).as("hh"))
+      hh.select(explode(col("hh.items")).as("it"))
+        .select(col("it.key").as("user_key"), col("it.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_key").asc).limit(20)
+    }),
     "q_pii" -> ((s, dir) => {
       // deterministic PII injection (email, IPv4, phone, arithmetic per
       // doc); BOTH engines then run their real regex engine over the same
@@ -2500,6 +2517,16 @@ object SparkEntry {
       SELECT doc_id FROM (
         SELECT doc_id, POWER(u, 1.0 / w) AS pkey FROM u
         ORDER BY pkey DESC, doc_id ASC LIMIT 100)""",
+    "q_shuffle" -> """
+      SELECT doc_id, CAST(row_number() OVER (
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS shuffle_pos
+      FROM documents""",
+    // exact regime (capacity > distinct users): the sketch equals GROUP BY;
+    // the (cnt desc, key-string asc) cut order matches the Spark side
+    "q_heavy_hitters" -> """
+      SELECT CAST(user_id AS VARCHAR) AS user_key, cnt FROM (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+      ORDER BY cnt DESC, CAST(user_id AS VARCHAR) ASC LIMIT 20""",
     "q_pii" -> s"""
       WITH t AS (SELECT doc_id,
         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'

@@ -132,6 +132,24 @@ object Curation {
   }
 
   /**
+   * Deterministic global shuffle for training-data ordering: assigns every
+   * row a 0-based `shuffle_pos` = its global rank under (md5(id), id) — a
+   * reproducible random permutation of the corpus that is identical across
+   * runs, engines, and partitionings. Training pipelines need exactly this
+   * (fixed data order ⇒ reproducible training runs, resumable epoch
+   * offsets); a `Window.orderBy` with no partition would funnel the corpus
+   * through ONE task, so the rank comes from [[graft.core.Ranking]]'s
+   * range-repartition + broadcast prefix-sum (no single-task stage,
+   * O(n log n) shuffle).
+   */
+  def shufflePositions(df: DataFrame, id: Column,
+                       posName: String = "shuffle_pos",
+                       buckets: Int = 256): DataFrame =
+    graft.core.Ranking.globalRank(
+      df.withColumn("__srank", hashRank(id)),
+      Seq(col("__srank").asc, id.asc), posName, buckets).drop("__srank")
+
+  /**
    * Leakage-safe train/holdout split: the side is decided by the hash of a
    * GROUP key (host, domain, source, dedup-cluster id), never the row id,
    * so documents sharing a group — the rows most likely to be near

@@ -77,6 +77,22 @@ class CurationSpec extends SparkSpec {
     assert(got == again, "partitioning must not change the sample")
   }
 
+  test("shufflePositions: exact md5 permutation, no global window, invariant") {
+    val df = (0L until 997L).toDF("doc_id")
+    def md5hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0L until 997L).sortBy(id => (md5hex(id), id)).zipWithIndex
+      .map { case (id, pos) => id -> pos.toLong }.toMap
+    val got = Curation.shufflePositions(df, col("doc_id"), buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // a permutation: every position exactly once; partitioning-invariant
+    assert(got.values.toSeq.sorted == (0L until 997L))
+    val again = Curation.shufflePositions(df.repartition(11), col("doc_id"), buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == want, "bucket count and input partitioning must not matter")
+  }
+
   test("prioritySample: weight dominance and k >= n degeneracy") {
     // one row with overwhelming weight has key u^(1/w) ~ 1 — always sampled
     val df = ((0 until 50).map(i => (i.toLong, 1.0)) :+ (99L, 1e12))

@@ -50,4 +50,46 @@ class FunctionsSpec extends SparkSpec {
     assert(a.forall { case (_, xs) =>
       xs == xs.sortBy(t => (t._1, t._2)) && xs.size <= 16 })
   }
+
+  // ---- Misra-Gries heavy hitters ----
+
+  private def hhRun(df: DataFrame, capacity: Int) = {
+    val r = df.agg(graft.functions.HeavyHittersAgg
+        .heavyHitters(col("k"), capacity).as("hh"))
+      .select(col("hh.items").as("items"), col("hh.max_error").as("e"))
+      .collect()(0)
+    val items = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => x.getString(0) -> x.getLong(1))
+    (items, r.getLong(1))
+  }
+
+  test("heavy hitters: exact regime (capacity > distinct) equals groupBy count") {
+    val rows = (0 until 5000).map(i => s"k${(i * 2654435761L % 97L)}")
+    val df = rows.toDF("k")
+    val want = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .toSeq.sortBy { case (k, c) => (-c, k) }
+    val (items, err) = hhRun(df, capacity = 128)
+    assert(err == 0L)
+    assert(items == want)
+    // serialize/merge path: same answer at any partitioning
+    assert(hhRun(df.repartition(13), 128) == ((want, 0L)))
+  }
+
+  test("heavy hitters: approximate regime honors the MG guarantees") {
+    // skewed stream: "hot" 60%, 200 distinct cold keys share the rest
+    val rows = (0 until 3000).map(i =>
+      if (i % 5 < 3) "hot" else s"cold${i % 200}")
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (items, err) = hhRun(rows.toDF("k").repartition(7), capacity = 8)
+    assert(err > 0L, "capacity 8 << 201 distinct must decrement")
+    // every emitted count is a lower bound within max_error of the truth
+    items.foreach { case (k, c) =>
+      assert(c <= truth(k), s"$k overcounted: $c > ${truth(k)}")
+      assert(c >= truth(k) - err, s"$k below the error floor")
+    }
+    // any key with true count > max_error is guaranteed to survive
+    val mustSurvive = truth.filter(_._2 > err).keySet
+    assert(mustSurvive.subsetOf(items.map(_._1).toSet))
+    assert(items.map(_._1).contains("hot"))
+  }
 }
