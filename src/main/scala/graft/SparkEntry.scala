@@ -484,7 +484,49 @@ object SparkEntry {
           round(col("total_value"), 6).as("total_value"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // enrich every non-purchase event with the user's most recent
+      // purchase value at that instant — window-strategy as-of join (one
+      // key shuffle, no join node); oracle = DuckDB's native ASOF LEFT JOIN
+      val ev = events(s, dir)
+      val l = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.asof(l, r, key = "user_id", ts = "ts",
+          payload = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          // no-match sentinel: the driver hash gate compares floats exactly
+          // and NaN != NaN would mask a real mismatch
+          coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+    }),
+    "q_asof_bucketed" -> ((s, dir) => {
+      // same enrichment bounded to a 24h lookback via the bucketed-join
+      // strategy (hot keys split across time buckets; bucket = tolerance →
+      // right replication 2×); ms granularity on both engines
+      // events.ts is TIMESTAMP_NTZ; the session timezone is pinned UTC, so
+      // the cast-then-unix_millis equals DuckDB's epoch_ms(ntz)
+      val ev = events(s, dir)
+      val ems = unix_millis(col("ts").cast("timestamp")).as("tms")
+      val l = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), ems)
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), ems, col("value").as("purchase_value"))
+      val day = 24L * 3600 * 1000
+      graft.operators.AsOfJoin.asofBucketed(l, r, key = "user_id", ts = "tms",
+          leftId = "event_id", payload = Seq("purchase_value"),
+          toleranceMs = day, bucketMs = day)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+    }),
+
     // ---- text analysis ----
+    "q_bpe_pairs" -> ((s, dir) =>
+      // BPE-training inner loop statistics: top-100 adjacent character
+      // pairs weighted by corpus word frequency — one corpus scan into the
+      // compact (word, freq) table, then a pair explode + hash aggregate
+      graft.text.Tokenize.charPairCounts(
+        graft.text.Tokenize.wordFreq(documents(s, dir), "text"), k = 100)),
     "q_token_stats" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
@@ -2415,6 +2457,13 @@ object SparkEntry {
                 FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i))
       SELECT gram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
       FROM grams GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 50""",
+    "q_bpe_pairs" -> s"""
+      WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '$TOK')) AS w FROM documents),
+      wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+      pairs AS (SELECT substr(w, i, 2) AS pair, f
+                FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS u(i))
+      SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM pairs
+      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 100""",
     "q_dup_ngrams" -> s"""
       WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
       grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
@@ -2657,6 +2706,20 @@ object SparkEntry {
         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
       FROM events GROUP BY 1, 2""",
     "q_sessionize" -> sessionizeSql,
+    "q_asof_join" -> """
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'),
+      r AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, COALESCE(r.purchase_value, -1.0) AS purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_asof_bucketed" -> """
+      WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events
+                 WHERE event_type <> 'purchase'),
+      r AS (SELECT user_id, epoch_ms(ts) AS tms, value AS purchase_value FROM events
+            WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id,
+        COALESCE(CASE WHEN l.tms - r.tms <= 86400000 THEN r.purchase_value END, -1.0)
+          AS purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tms >= r.tms""",
     "q_dedup_cluster" -> dedupClusterSql,
     "q_harmonic" -> s"""
       WITH RECURSIVE e0 AS ($SqlEMOD),
