@@ -23,10 +23,12 @@ import graft.core.{Graph, StepResult, Superstep}
  * (hash * 2^42 + a * 2^21 + b stays under 2^63); beyond that widen to a
  * (hash, a, b) lexicographic min.
  *
- * Scale shape: a round is one union + min-aggregate over live edge
- * endpoints (one Exchange, map-side combined) and two small joins — no
- * windows, no driver-side loops; the live set shrinks geometrically like a
- * peeling round in [[Cores]].
+ * Scale shape: a round is one union + argmin-aggregate over live edge
+ * endpoints (one Exchange, map-side combined), one V-sized self-join of the
+ * argmin table (the mutual test), and two live-set joins marking selected/
+ * dead edges — no windows, no driver-side loops; the live set shrinks
+ * geometrically like a peeling round in [[Cores]], and only the live set is
+ * ever re-materialized (matched edges accumulate in per-round cut frames).
  */
 object Matching {
 
@@ -53,52 +55,55 @@ object Matching {
       .distinct()
     val verts = Graph.vertices(edges)
 
-    // state: (a, b, pk, m) — m=true once matched; live = !m
-    val init = ce.select(col("a"), col("b"), edgeKey(col("a"), col("b")).as("pk"),
-      lit(false).as("m"))
+    // state = LIVE edges only: matched edges leave the loop into per-round
+    // accumulator frames, so each superstep materializes O(live) rows (the
+    // live set shrinks geometrically) instead of rewriting all E rows. The
+    // per-vertex ARGMIN (pk, partner) makes the mutual-minimum test a join
+    // of two V-sized frames — the old shape re-joined the full live set
+    // against the selected edges and the matched-vertex set (3 extra
+    // E-sized hash joins per round).
+    val init = ce.select(col("a"), col("b"), edgeKey(col("a"), col("b")).as("pk"))
 
+    val matchedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var carriedLive: Option[Long] = None
     val outcome = Superstep.run(init,
-      Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (state, _) =>
-      val liveBefore = carriedLive.getOrElse(state.filter(!col("m")).count())
-      val live = state.filter(!col("m"))
-      // per-vertex minimum live incident edge key
-      val vmin = live.select(col("a").as(Graph.VID), col("pk"))
-        .union(live.select(col("b").as(Graph.VID), col("pk")))
-        .groupBy(Graph.VID).agg(min("pk").as("__mn"))
-      // mutual minima — the selected edges of this round
-      val sel = live
-        .join(vmin.select(col(Graph.VID).as("__va"), col("__mn").as("__mna"))
-          .hint("shuffle_hash"), col("a") === col("__va"))
-        .join(vmin.select(col(Graph.VID).as("__vb"), col("__mn").as("__mnb"))
-          .hint("shuffle_hash"), col("b") === col("__vb"))
-        .filter(col("pk") === col("__mna") && col("pk") === col("__mnb"))
-        .select(col("a"), col("b"))
-      val matchedV = sel.select(col("a").as(Graph.VID))
-        .union(sel.select(col("b").as(Graph.VID))).distinct()
-        .select(col(Graph.VID), lit(true).as("__hit"))
-      // selected edges flip to matched; other edges touching a matched
-      // vertex die; the rest stay live
-      val next = state.filter(col("m")).unionByName(
-        live
-          .join(sel.select(col("a").as("__sa"), col("b").as("__sb"),
-            lit(true).as("__sel")).hint("shuffle_hash"),
-            col("a") === col("__sa") && col("b") === col("__sb"), "left")
-          .join(matchedV.select(col(Graph.VID).as("__ha"), col("__hit").as("__hita"))
-            .hint("shuffle_hash"), col("a") === col("__ha"), "left")
-          .join(matchedV.select(col(Graph.VID).as("__hb"), col("__hit").as("__hitb"))
-            .hint("shuffle_hash"), col("b") === col("__hb"), "left")
-          .filter(col("__sel").isNotNull ||
-            (col("__hita").isNull && col("__hitb").isNull))
-          .select(col("a"), col("b"), col("pk"),
-            col("__sel").isNotNull.as("m")))
-      val cut = graft.core.Lineage.cut(next)
-      val liveAfter = cut.filter(!col("m")).count()
+      Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (live, _) =>
+      val liveBefore = carriedLive.getOrElse(live.count())
+      // per-vertex argmin live incident edge: (vid, its min pk, partner)
+      val vmin = live
+        .select(col("a").as(Graph.VID), struct(col("pk"), col("b").as("o")).as("m"))
+        .union(live
+          .select(col("b").as(Graph.VID), struct(col("pk"), col("a").as("o")).as("m")))
+        .groupBy(Graph.VID).agg(min("m").as("m"))
+        .select(col(Graph.VID), col("m.pk").as("mpk"), col("m.o").as("mo"))
+      // v is matched iff its argmin edge is also its partner's argmin —
+      // pk packs (a, b), so equal pk means the SAME edge
+      val mv = vmin
+        .join(vmin.select(col(Graph.VID).as("__pv"), col("mpk").as("__ppk"))
+          .hint("shuffle_hash"), col("mo") === col("__pv"))
+        .filter(col("mpk") === col("__ppk"))
+        .select(col(Graph.VID).as("__mv"), col("mpk"))
+      val joined = live
+        .join(mv.select(col("__mv").as("__ma"), col("mpk").as("__pka"))
+          .hint("shuffle_hash"), col("a") === col("__ma"), "left")
+        .join(mv.select(col("__mv").as("__mb"), col("mpk").as("__pkb"))
+          .hint("shuffle_hash"), col("b") === col("__mb"), "left")
+      // both endpoints matched via THIS edge -> selected; any matched
+      // endpoint -> the edge leaves the live set
+      val sel = graft.core.Lineage.cut(
+        joined.filter(col("__pka") === col("pk") && col("__pkb") === col("pk"))
+          .select(col("a"), col("b")))
+      matchedFrames += sel
+      val nextLive = graft.core.Lineage.cut(
+        joined.filter(col("__pka").isNull && col("__pkb").isNull)
+          .select(col("a"), col("b"), col("pk")))
+      val liveAfter = nextLive.count()
       carriedLive = Some(liveAfter)
-      StepResult(cut, liveBefore, converged = liveAfter == 0L)
+      StepResult(nextLive, liveBefore, converged = liveAfter == 0L)
     }
 
-    val matching = outcome.state.filter(col("m")).select(col("a"), col("b"))
+    val matching = matchedFrames.reduceOption(_ unionByName _)
+      .getOrElse(outcome.state.limit(0).select(col("a"), col("b")))
     Result(matching, matesView(verts, matching), outcome.metrics)
   }
 
