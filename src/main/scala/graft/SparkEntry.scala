@@ -905,6 +905,21 @@ object SparkEntry {
         threshold = 0.5, maxShingleFreq = 1000)
       graft.dedup.Dedup.nearDupClusters(docs, pairs)
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // recrawl dedup: the 20%-of-doc_ids "new batch" checks against the
+      // persisted signature store of the other 80% plus itself — old×old
+      // pairs never regenerate. md5 family (k=8, 4 bands × 2 rows),
+      // est_jaccard ≥ 0.5; maxBucket high so banding is complete and the
+      // brute-force band-equality oracle is exact
+      val docs = documents(s, dir)
+      val isNew = col("doc_id") % 5 === 0
+      val oldSigs = graft.dedup.MinHash.md5Signatures(docs.filter(!isNew), k = 8, n = 5)
+      val newSigs = graft.dedup.MinHash.md5Signatures(docs.filter(isNew), k = 8, n = 5)
+      graft.dedup.MinHash.incrementalNearDupPairs(oldSigs, newSigs, bands = 4,
+          threshold = 0.5, maxBucket = 1000000)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
     "q_minhash_sig" -> ((s, dir) => {
       val sig = graft.dedup.MinHash.md5Signatures(documents(s, dir), k = 8, n = 5)
       sig.select(col("doc_id") +: (0 until 8).map(i => col("sig")(i).as(s"h$i")): _*)
@@ -2635,6 +2650,23 @@ object SparkEntry {
       FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""",
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_sig" -> minhashSigSql,
+    "q_dedup_incremental" -> {
+      val eq = (0 until 8).map(i => s"(n.h$i = o.h$i)")
+      val bandHit = (0 until 4).map(b =>
+        s"(${eq(2 * b)} AND ${eq(2 * b + 1)})").mkString(" OR ")
+      val est = eq.map(e => s"$e::INT").mkString("(", " + ", ") / 8.0")
+      val mins = (0 until 8).map(i => s"MIN(md5('$i' || '|' || sh)) AS h$i").mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, substring(t, i, 5) AS sh
+             FROM norm, UNNEST(generate_series(1, GREATEST(length(t) - 4, 0))) AS u(i)),
+      s AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      news AS (SELECT * FROM s WHERE doc_id % 5 = 0)
+      SELECT n.doc_id AS id_a, o.doc_id AS id_b, ROUND($est, 6) AS est_jaccard
+      FROM news n JOIN s o
+        ON n.doc_id <> o.doc_id AND (o.doc_id % 5 <> 0 OR n.doc_id < o.doc_id)
+      WHERE ($bandHit) AND $est >= 0.5"""
+    },
     "q_ann_topk" -> annTopkSql,
     "q_embed_top_pairs" -> embedTopPairsSql,
     "q_kmeans" -> kmeansSql(k = 4, iters = 3),

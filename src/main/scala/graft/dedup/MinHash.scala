@@ -72,6 +72,62 @@ object MinHash {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /**
+   * Incremental (recrawl) near-dup detection: pairs between a NEW document
+   * batch and an already-signed corpus, plus within the new batch — old×old
+   * pairs are NEVER regenerated. This is the production shape: a pipeline
+   * persists the signature store (id, sig), not the text, and each crawl
+   * increment only pays O(new) signature computation plus the bucket joins
+   * its own bands touch. `oldSigs` must come from the same (k, shingle-n,
+   * hash-family) configuration.
+   *
+   * Pair orientation: id_a is always from the new batch; for new×new pairs
+   * id_a < id_b (emitted once). Banding is complete (a pair with any equal
+   * band is a candidate) up to `maxBucket`, as in [[candidatePairs]].
+   */
+  def incrementalNearDupPairs(oldSigs: DataFrame, newSigs: DataFrame,
+                              bands: Int, threshold: Double,
+                              id: String = "doc_id",
+                              maxBucket: Int = 2000): DataFrame = {
+    val k = bands * bandRows(oldSigs, newSigs, bands)
+    val rows = k / bands
+    val all = oldSigs.select(col(id), col("sig"), lit(false).as("is_new"))
+      .unionByName(newSigs.select(col(id), col("sig"), lit(true).as("is_new")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = all.select(col(id), col("is_new"), posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", (0 until rows).map(r =>
+          col("sig")(b * rows + r).cast("string")): _*))): _*))
+      .as(Seq("band", "bkey")))
+    val buckets = banded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket && col("bn") > 1)
+    val inBucket = banded.join(buckets, Seq("band", "bkey"), "left_semi")
+    // probe from the new side only: old×old never meets
+    val cand = inBucket.filter(col("is_new"))
+      .select(col("band"), col("bkey"), col(id).as("id_a"))
+      .join(inBucket.select(col("band"), col("bkey"), col(id).as("id_b"),
+        col("is_new").as("__bn")), Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b") && (!col("__bn") || col("id_a") < col("id_b")))
+      .select("id_a", "id_b").distinct()
+    val withA = cand.join(all.select(col(id).as("id_a"), col("sig").as("sig_a")), "id_a")
+    val withB = withA.join(all.select(col(id).as("id_b"), col("sig").as("sig_b")), "id_b")
+    withB.select(col("id_a"), col("id_b"),
+      (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+        x => x)).cast("double") / lit(k)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** k/bands from the signature schema (both stores must agree on k). */
+  private def bandRows(oldSigs: DataFrame, newSigs: DataFrame, bands: Int): Int = {
+    // array<...> length is not in the schema; contract: caller guarantees
+    // equal k. Derive rows from a one-row probe of the old store.
+    val k = oldSigs.select(size(col("sig"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(newSigs.select(size(col("sig"))).limit(1).collect().head.getInt(0))
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    k / bands
+  }
+
   /** Cross-engine-exact md5 variant: (id, sig: array<string>). Used by the
    * DuckDB-checked oracle query — min is lexicographic over hex strings,
    * identical in Spark and DuckDB. */

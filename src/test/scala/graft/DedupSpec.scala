@@ -52,6 +52,38 @@ class DedupSpec extends SparkSpec {
     assert(est == 1.0)
   }
 
+  test("incremental minhash: new-vs-all pairs exactly, old×old never emitted") {
+    // new batch = even ids; expected = brute force over md5 signatures
+    val isNew = col("doc_id") % 2 === 0
+    val k = 8
+    val oldSigs = MinHash.md5Signatures(docs.filter(!isNew), k, n = 4)
+    val newSigs = MinHash.md5Signatures(docs.filter(isNew), k, n = 4)
+    val got = MinHash.incrementalNearDupPairs(oldSigs, newSigs, bands = 4,
+        threshold = 0.5, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val sigs = MinHash.md5Signatures(docs, k, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expect = (for {
+      a <- sigs.keys; b <- sigs.keys
+      if a != b && a % 2 == 0 && (b % 2 == 1 || a < b)
+      eqs = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      if (0 until 4).exists(band =>
+        sigs(a)(2 * band) == sigs(b)(2 * band) &&
+        sigs(a)(2 * band + 1) == sigs(b)(2 * band + 1))
+      est = eqs.toDouble / k if est >= 0.5
+    } yield (a, b, est)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)                         // 0-1 exact dups cross the split
+    assert(got.forall { case (a, _, _) => a % 2 == 0 })  // id_a always new
+    // first-crawl path: empty old store degenerates to within-batch pairs
+    val empty = oldSigs.limit(0)
+    val first = MinHash.incrementalNearDupPairs(empty, newSigs, bands = 4,
+        threshold = 0.5, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == expect.collect { case (a, b, _) if b % 2 == 0 => (a, b) })
+  }
+
   test("simhash: identical docs at hamming 0; near dups within 10; unrelated far") {
     val fp = SimHash.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(0L) == fp(1L))
