@@ -298,6 +298,43 @@ object Explain {
         col("doc_id"), length(col("text")) + lit(1), k = 100)
       .explain("formatted")
 
+    println("==== as-of join, window strategy: ONE key exchange, no join node ====")
+    val evA = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    graft.operators.AsOfJoin.asof(
+        evA.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        evA.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("pv")),
+        key = "user_id", ts = "ts", payload = Seq("pv"))
+      .explain("formatted")
+
+    println("==== as-of join, bucketed strategy: (key,bucket) join + max_by, hot keys split ====")
+    val evMs = unix_millis(col("ts").cast("timestamp")).as("tms")
+    graft.operators.AsOfJoin.asofBucketed(
+        evA.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), evMs),
+        evA.filter(col("event_type") === "purchase")
+          .select(col("user_id"), evMs, col("value").as("pv")),
+        key = "user_id", ts = "tms", leftId = "event_id", payload = Seq("pv"),
+        toleranceMs = 86400000L, bucketMs = 86400000L)
+      .explain("formatted")
+
+    println("==== BPE pair counts: corpus scan -> word-freq agg -> pair agg -> TakeOrdered ====")
+    graft.text.Tokenize.charPairCounts(
+        graft.text.Tokenize.wordFreq(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text"),
+        k = 100)
+      .explain("formatted")
+
+    println("==== incremental minhash: new-side probe of band buckets (old×old never joins) ====")
+    val docsI = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sNew = col("doc_id") % 5 === 0
+    graft.dedup.MinHash.incrementalNearDupPairs(
+        graft.dedup.MinHash.md5Signatures(docsI.filter(!sNew), k = 8, n = 5),
+        graft.dedup.MinHash.md5Signatures(docsI.filter(sNew), k = 8, n = 5),
+        bands = 4, threshold = 0.5)
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
