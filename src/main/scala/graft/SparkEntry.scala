@@ -527,6 +527,11 @@ object SparkEntry {
       // compact (word, freq) table, then a pair explode + hash aggregate
       graft.text.Tokenize.charPairCounts(
         graft.text.Tokenize.wordFreq(documents(s, dir), "text"), k = 100)),
+    "q_entropy" -> ((s, dir) =>
+      // character-entropy quality band: the compression-style signal next
+      // to q_quality/q_gopher_rules; pure codegen'd array fold, no shuffle
+      documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))),
     "q_token_stats" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
@@ -2472,6 +2477,12 @@ object SparkEntry {
                 FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i))
       SELECT gram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
       FROM grams GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 50""",
+    "q_entropy" -> """
+      WITH cs AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM cs GROUP BY 1, 2),
+      tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)
+      SELECT cnt.doc_id, ROUND(-SUM((k * 1.0 / n) * log2(k * 1.0 / n)), 6) AS entropy
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY cnt.doc_id""",
     "q_bpe_pairs" -> s"""
       WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '$TOK')) AS w FROM documents),
       wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),

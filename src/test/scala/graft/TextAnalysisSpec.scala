@@ -62,6 +62,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(0) > s(1))
   }
 
+  test("char entropy: closed forms, repetition ordering, empty text") {
+    val df = Seq("aaaa", "ab", "abcd", "", "aabb").toDF("text")
+    val got = df.select(round(TextAnalysis.charEntropy(col("text")), 9))
+      .collect().map(_.getDouble(0)).toSeq
+    // uniform over k symbols -> log2(k); constant -> 0; empty -> 0
+    assert(got(0) == 0.0 && got(3) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-9 && math.abs(got(4) - 1.0) < 1e-9)
+    assert(math.abs(got(2) - 2.0) < 1e-9)
+    // driver-side oracle on arbitrary text, any order of accumulation
+    val s = "the quick brown fox the quick"
+    val hand = {
+      val m = s.groupBy(identity).view.mapValues(_.length.toDouble / s.length)
+      -m.values.map(p => p * math.log(p) / math.log(2)).sum
+    }
+    val e = Seq(s).toDF("text")
+      .select(TextAnalysis.charEntropy(col("text"))).collect()(0).getDouble(0)
+    assert(math.abs(e - hand) < 1e-9)
+    // repetitive text scores strictly below diverse text of the same length
+    val rep = "spam spam spam spam spam spam "
+    val div = "all unique wording every place "
+    val Seq(er, ed) = Seq(rep, div).toDF("text")
+      .select(TextAnalysis.charEntropy(col("text"))).collect().map(_.getDouble(0)).toSeq
+    assert(er < ed)
+  }
+
   test("fingerprint invariant to case/punctuation/whitespace") {
     val df = Seq("Hello, World!", "hello   world", "HELLO WORLD").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
