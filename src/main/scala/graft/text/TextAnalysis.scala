@@ -75,20 +75,14 @@ object TextAnalysis {
   /** Shannon entropy (bits/char) of the character distribution — the
    * compression-ratio-style gibberish/repetition signal (low entropy =
    * boilerplate or character spam, high = encrypted/binary junk; used as a
-   * band-pass filter alongside the Gopher rules). Pure per-row array
-   * expressions — no UDF, no shuffle; O(len · alphabet) per document,
-   * embarrassingly parallel. The fold visits characters in first-occurrence
-   * order; summation-order float drift vs an engine that groups by char is
-   * below the round(6) the callers apply. */
-  def charEntropy(text: Column): Column = {
-    val chars = filter(split(text, ""), c => length(c) > 0)
-    val n = size(chars).cast("double")
-    val probs = transform(array_distinct(chars),
-      c => size(filter(chars, x => x === c)).cast("double") / n)
-    when(size(chars) > 0,
-      -aggregate(probs, lit(0.0), (acc, p) => acc + p * log(2.0, p)))
-      .otherwise(lit(0.0))
-  }
+   * band-pass filter alongside the Gopher rules). Delegates to the native
+   * codegen'd [[graft.functions.CharEntropy]] expression — one compiled
+   * pass per row, no UDF, no shuffle; every pure-Column formulation
+   * measured 1000× slower (see the expression's scaladoc). Summation-order
+   * float drift vs an engine that groups by char is below the round(6) the
+   * callers apply. */
+  def charEntropy(text: Column): Column =
+    graft.functions.CharEntropy(text)
 
   /** Document fingerprint: md5 of the lowercased text with all
    * non-alphanumerics removed — stable under formatting/punctuation noise.
