@@ -150,11 +150,12 @@ object Bench {
     // round-3 close-out batch 3: temporal as-of join both strategies (the
     // window path prices the no-join running-last carry; the bucketed path
     // prices the replicate+max_by skew plan), BPE pair mining (one corpus
-    // scan + vocabulary-sized pair agg), incremental minhash (new-batch
-    // signing + band-bucket probe against the 80% store), and the
-    // character-entropy fold (scan-speed array expression)
-    "q_asof_join", "q_asof_bucketed", "q_bpe_pairs", "q_dedup_incremental",
-    "q_entropy",
+    // scan + vocabulary-sized pair agg), BPE encode (|merges| folds over
+    // the distinct-word vocabulary + one w-keyed join back), incremental
+    // minhash (new-batch signing + band-bucket probe against the 80%
+    // store), and the character-entropy fold (scan-speed array expression)
+    "q_asof_join", "q_asof_bucketed", "q_bpe_pairs", "q_bpe_encode",
+    "q_dedup_incremental", "q_entropy",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")

@@ -527,6 +527,19 @@ object SparkEntry {
       // compact (word, freq) table, then a pair explode + hash aggregate
       graft.text.Tokenize.charPairCounts(
         graft.text.Tokenize.wordFreq(documents(s, dir), "text"), k = 100)),
+    "q_bpe_encode" -> ((s, dir) => {
+      // the ENCODE side of BPE: apply a FIXED merge table (deployment
+      // reality — merges ship as a tokenizer artifact, e.g. merges.txt)
+      // over the corpus and report per-doc word/token counts. The merge
+      // chain folds over the distinct-word VOCABULARY, never the corpus;
+      // the oracle mirrors the greedy left-to-right fold as a sentinel-char
+      // replace() chain (both are non-overlapping left-to-right scans)
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+        "a" -> "n", "an" -> "d").zipWithIndex.map { case ((a, b), i) =>
+        graft.text.Tokenize.Merge(i, a, b, 0L) }
+      graft.text.Tokenize.encode(documents(s, dir), "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_tokens"))
+    }),
     "q_entropy" -> ((s, dir) =>
       // character-entropy quality band: the compression-style signal next
       // to q_quality/q_gopher_rules; pure codegen'd array fold, no shuffle
@@ -2490,6 +2503,18 @@ object SparkEntry {
                 FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS u(i))
       SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM pairs
       GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 100""",
+    "q_bpe_encode" -> """
+      WITH words AS (SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), '[^ \t\n\r]+')) AS w
+        FROM documents),
+      enc AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(w,
+          'th', chr(1)), chr(1) || 'e', chr(2)), 'in', chr(3)),
+          'er', chr(4)), 'an', chr(5)), chr(5) || 'd', chr(6)) AS e
+        FROM words)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(length(e)) AS BIGINT) AS n_tokens
+      FROM enc GROUP BY doc_id""",
     "q_dup_ngrams" -> s"""
       WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
       grams AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram

@@ -68,16 +68,46 @@ object Tokenize {
    * greedy left-to-right non-overlapping replacement, as a pure per-row
    * fold (after a merge the accumulator's tail is the MERGED token, so an
    * overlapping second application cannot fire — "aaa" under (a,a) becomes
-   * [aa, a], exactly the reference behavior). */
+   * [aa, a], exactly the reference behavior). Rewrites `syms` in place;
+   * every other column rides along (so a (w, syms) vocabulary keeps its
+   * word key through [[encode]]'s merge chain). */
   def applyMerge(syms: DataFrame, a: String, b: String): DataFrame = {
     val merged = a + b
-    syms.select(
+    syms.withColumn("syms",
       aggregate(col("syms"), array().cast("array<string>"),
         (acc, s) => when(size(acc) > 0 &&
             element_at(acc, -1) === lit(a) && s === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-          .otherwise(concat(acc, array(s)))).as("syms"),
-      col("f"))
+          .otherwise(concat(acc, array(s)))))
+  }
+
+  /**
+   * Apply a learned merge sequence to a corpus — the ENCODE side of BPE.
+   * The merge chain folds over the distinct-word VOCABULARY (never the
+   * corpus); documents then join their words against the tokenized vocab.
+   * Returns one row per document: (id, n_words, n_tokens, tokens —
+   * the per-word subword arrays flattened in word order is deliberately
+   * NOT materialized; downstream packing only needs counts).
+   *
+   * Scale shape: one corpus scan into (id, w) pairs, |merges| vocabulary
+   * folds (each a lineage-cut projection over millions of rows, not
+   * trillions), one w-keyed join back, one per-doc aggregate.
+   */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[^ \\t\\n\\r]+"), lit(0))).as("w"))
+    val vocab0 = words.select("w").distinct()
+      .withColumn("syms", filter(split(col("w"), ""), s => length(s) > 0))
+    val vocab = merges.foldLeft(graft.core.Lineage.cut(vocab0)) { (v, m) =>
+      val next = graft.core.Lineage.cut(applyMerge(v, m.a, m.b))
+      graft.core.Lineage.release(v)
+      next
+    }
+    words.join(vocab.select(col("w"), size(col("syms")).as("__nt")), "w")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("__nt").as("n_tokens"))
   }
 
   /** Learned merge, in rank order. */

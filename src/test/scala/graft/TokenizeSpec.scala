@@ -78,6 +78,32 @@ class TokenizeSpec extends SparkSpec {
     assert(got.head._3 >= got(1)._3)
   }
 
+  test("encode applies the merge chain like the reference tokenizer") {
+    val df = corpus.toDF("text").withColumn("doc_id",
+      monotonically_increasing_id())
+    val merges = Tokenize.bpeTrain(df, "text", nMerges = 6)
+    val got = Tokenize.encode(df, "doc_id", "text",
+        merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver reference: fold each word through the same merges
+    val refMerges = merges.map(m => (m.a, m.b))
+    def tokWord(w: String): Int =
+      refMerges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+        foldMerge(syms, a, b)
+      }.size
+    val ids = df.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    for ((id, text) <- ids) {
+      val ws = text.toLowerCase.split("[ \t\n\r]+").filter(_.nonEmpty)
+      assert(got(id) == ((ws.length.toLong, ws.map(tokWord).sum.toLong)),
+        s"doc $id")
+    }
+    // merges strictly reduce (or preserve) token counts vs raw chars
+    val raw = ids.map { case (_, t) =>
+      t.toLowerCase.split("[ \t\n\r]+").filter(_.nonEmpty).map(_.length).sum }.sum
+    assert(got.values.map(_._2).sum < raw)
+  }
+
   test("bpeTrain is partitioning-invariant and stops when no pairs remain") {
     val tiny = Seq("a b c").toDF("text")
     // single-char words only -> zero pairs -> empty merge list
