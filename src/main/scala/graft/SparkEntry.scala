@@ -787,6 +787,14 @@ object SparkEntry {
           col("doc_id"),
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
         .select(col("doc_id"))),
+    "q_lang_mix" -> ((s, dir) =>
+      // temperature-τ=0.3 language mixture (mT5 rule): per-language keep
+      // rate computed FROM the corpus — (n_l/n_min)^(τ−1), 1 for the
+      // rarest — then the same deterministic weighted Bernoulli filter as
+      // q_stratified_sample; rates broadcast-joined (k rows)
+      graft.text.Curation.temperatureMix(documents(s, dir), col("lang"),
+          col("doc_id"), tau = 0.3)
+        .select(col("doc_id"), col("lang"), col("mix_rate"))),
     "q_priority_sample" -> ((s, dir) =>
       // exact-k weighted sample without replacement (Efraimidis-Spirakis
       // A-Res), weight = document length: longer docs proportionally more
@@ -2607,6 +2615,16 @@ object SparkEntry {
       WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         < FLOOR(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                             WHEN 'src2' THEN 0.25 ELSE 0.1 END * 4294967296.0)""",
+    // temperature mixture: rate = round((n_l/n_min)^(tau-1), 6) computed
+    // from the corpus; FLOOR matches Spark's truncating double->long cast
+    "q_lang_mix" -> """
+      WITH c AS (SELECT lang AS mk, COUNT(*) AS n FROM documents GROUP BY lang),
+      r AS (SELECT mk, ROUND(POWER(n * 1.0 / (SELECT MIN(n) FROM c), 0.3 - 1.0), 6)
+              AS mix_rate FROM c)
+      SELECT d.doc_id, d.lang, r.mix_rate
+      FROM documents d JOIN r ON d.lang = r.mk
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < FLOOR(r.mix_rate * 4294967296.0)""",
     // A-Res priority sampling: u = (hash position + 1)/2^32, key = u^(1/w),
     // w = LENGTH(text)+1 — identical deterministic draw on both engines
     "q_priority_sample" -> """

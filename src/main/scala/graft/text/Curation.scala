@@ -107,6 +107,38 @@ object Curation {
   }
 
   /**
+   * Temperature-based mixture sampling (the mT5/XLM-R multilingual rule,
+   * Xue et al. 2021 §3.1): target sampling probability per key (language /
+   * source) p_k ∝ (n_k/N)^τ with τ < 1 flattening the head — realized as a
+   * deterministic per-row keep rate, since a filter can only DOWN-sample:
+   * rate_k = (n_k/n_min)^(τ−1), which is 1 for the rarest key and shrinks
+   * the dominant keys toward the tempered mixture. Unlike
+   * [[stratifiedSample]] the rates are computed FROM the corpus (one k-row
+   * aggregate), not supplied.
+   *
+   * Scale shape: one map-side-combined groupBy(key) to k rows, one 1-row
+   * reduction for n_min, one BROADCAST join of the k-row rate table back,
+   * then the pure codegen'd [[sampleByWeight]] filter — no wide shuffle of
+   * the corpus at any point. Rates are rounded to 1e-6 BEFORE thresholding
+   * so the keep decision is reproducible across engines (pow() ulp
+   * differences cannot flip a row).
+   *
+   * Returns the kept rows with a `mix_rate` column (the rounded keep rate).
+   */
+  def temperatureMix(df: DataFrame, key: Column, id: Column,
+                     tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val counts = df.groupBy(key.as("__mk")).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min("__n").as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("__mk"),
+        round(pow(col("__n").cast("double") / col("__nmin"), lit(tau - 1.0)), 6)
+          .as("mix_rate"))
+    sampleByWeight(df.join(broadcast(rates), key === col("__mk")), id,
+      col("mix_rate")).drop("__mk")
+  }
+
+  /**
    * Weighted sample WITHOUT replacement of exactly `k` rows (Efraimidis &
    * Spirakis 2006 "A-Res" priority sampling): each row draws the
    * deterministic uniform u = (hashPosition+1)/2³² ∈ (0,1] and is ranked by

@@ -56,6 +56,35 @@ class CurationSpec extends SparkSpec {
     assert(Curation.hashSample(df, col("doc_id"), 1.0).count() == 2000)
   }
 
+  test("temperatureMix: corpus-derived rates, rarest key kept whole, driver parity") {
+    // skewed mixture: 400 / 100 / 25 docs per language
+    val rows = (0 until 525).map { i =>
+      (i.toLong, if (i < 400) "en" else if (i < 500) "de" else "mi")
+    }.toDF("doc_id", "lang")
+    val tau = 0.3
+    val got = Curation.temperatureMix(rows, col("lang"), col("doc_id"), tau)
+    val rates = got.select("lang", "mix_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def rate(n: Long): Double =
+      BigDecimal(math.pow(n / 25.0, tau - 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(rates("mi") == 1.0)
+    assert(rates("en") == rate(400) && rates("de") == rate(100))
+    // driver-side parity of the kept set: hashPosition(id) < floor(rate·2³²)
+    val pos = rows.select(col("doc_id"),
+        Curation.hashPosition(col("doc_id")).as("p"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = pos.collect { case (id, p, l)
+      if p < (rates(l) * 4294967296.0).toLong => id }.toSet
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want)
+    assert(pos.count(_._3 == "mi") == 25 && ids.count(_ >= 500) == 25)
+    // partitioning-invariant
+    val again = Curation.temperatureMix(rows.repartition(7), col("lang"),
+      col("doc_id"), tau).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
   test("prioritySample: exact-k, matches the driver-side A-Res top-k, deterministic") {
     val rows = (0 until 200).map(i => (i.toLong, (i % 13 + 1).toDouble))
     val df = rows.toDF("doc_id", "w")
