@@ -116,26 +116,34 @@ object Curation {
    * [[stratifiedSample]] the rates are computed FROM the corpus (one k-row
    * aggregate), not supplied.
    *
-   * Scale shape: one map-side-combined groupBy(key) to k rows, one 1-row
-   * reduction for n_min, one BROADCAST join of the k-row rate table back,
-   * then the pure codegen'd [[sampleByWeight]] filter — no wide shuffle of
-   * the corpus at any point. Rates are rounded to 1e-6 BEFORE thresholding
-   * so the keep decision is reproducible across engines (pow() ulp
-   * differences cannot flip a row).
+   * Scale shape: ONE map-side-combined groupBy(key) over the corpus,
+   * collected — k = #distinct keys (languages / sources) is small by
+   * contract, so this is O(k) driver data, the same class as the
+   * bucket-offset collects in [[graft.core.Ranking]] (deriving n_min from
+   * an uncollected counts frame would re-run the corpus aggregation a
+   * second time). Rates are then computed ON A k-ROW LOCAL FRAME with the
+   * engine's own pow/round expressions (cross-engine oracle parity),
+   * broadcast-joined back, and fed to the pure codegen'd
+   * [[sampleByWeight]] filter — two corpus scans total, no wide shuffle.
+   * Rates are rounded to 1e-6 BEFORE thresholding so pow() ulp differences
+   * cannot flip a row between engines. Keys compare by their string form.
    *
    * Returns the kept rows with a `mix_rate` column (the rounded keep rate).
    */
   def temperatureMix(df: DataFrame, key: Column, id: Column,
                      tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
-    val counts = df.groupBy(key.as("__mk")).agg(count(lit(1)).as("__n"))
-    val nMin = counts.agg(min("__n").as("__nmin"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(key.cast("string").as("__mk"))
+      .agg(count(lit(1)).as("__n")).as[(String, Long)].collect()
+    val nMin = counts.iterator.map(_._2).min
+    val rates = counts.toSeq.toDF("__mk", "__n")
       .select(col("__mk"),
-        round(pow(col("__n").cast("double") / col("__nmin"), lit(tau - 1.0)), 6)
+        round(pow(col("__n").cast("double") / lit(nMin.toDouble), lit(tau - 1.0)), 6)
           .as("mix_rate"))
-    sampleByWeight(df.join(broadcast(rates), key === col("__mk")), id,
-      col("mix_rate")).drop("__mk")
+    sampleByWeight(df.join(broadcast(rates), key.cast("string") === col("__mk")),
+      id, col("mix_rate")).drop("__mk")
   }
 
   /**

@@ -335,6 +335,18 @@ object Explain {
         bands = 4, threshold = 0.5)
       .explain("formatted")
 
+    println("==== BPE encode: |merges| vocab folds + word-keyed join back + per-doc agg ====")
+    val docsE = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    graft.text.Tokenize.encode(docsE, "doc_id", "text",
+        Seq("t" -> "h", "th" -> "e").zipWithIndex.map { case ((a, b), i) =>
+          graft.text.Tokenize.Merge(i, a, b, 0L) })
+      .explain("formatted")
+
+    println("==== temperature mix: k-row rate agg + broadcast join + codegen'd filter ====")
+    graft.text.Curation.temperatureMix(docsE, col("lang"), col("doc_id"),
+        tau = 0.3)
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
