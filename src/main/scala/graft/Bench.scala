@@ -157,6 +157,10 @@ object Bench {
     // store), and the character-entropy fold (scan-speed array expression)
     "q_asof_join", "q_asof_bucketed", "q_bpe_pairs", "q_bpe_encode",
     "q_dedup_incremental", "q_entropy",
+    // DSIR importance weighting (two corpus scans + a 4096-row broadcast
+    // model join); q_dsir_select is not benched separately — it is q_dsir
+    // plus one TakeOrdered pass
+    "q_dsir",
     // the end-to-end curation chain (dedup → lang → quality → cap → split →
     // accounting) as one fused plan — the library's flagship composition
     "q_pipeline")

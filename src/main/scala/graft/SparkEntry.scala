@@ -597,6 +597,20 @@ object SparkEntry {
       // approxQuantile sketch of a prior run)
       TextAnalysis.unigramLogProb(documents(s, dir), "doc_id", "text",
         headThreshold = -3.401, middleThreshold = -3.42)),
+    "q_dsir" -> ((s, dir) =>
+      // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+      // bucket models, target = the English subset, raw = whole corpus;
+      // logweight = ln p_target(doc) − ln p_raw(doc)
+      graft.text.Dsir.importanceWeights(documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096, lambda = 0.5)),
+    "q_dsir_select" -> ((s, dir) =>
+      // the resampling step: Gumbel top-100 on the weights — sampling
+      // without replacement ∝ exp(weight), deterministic hash Gumbel draw
+      graft.text.Dsir.resample(
+        graft.text.Dsir.importanceWeights(documents(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 4096, lambda = 0.5),
+        "doc_id", "logweight", k = 100)
+        .select(col("doc_id"), col("gumbel_key"))),
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup: k-means buckets (same k=4/3-iteration model the oracle
       // unrolls for q_kmeans) + within-cluster cosine ≥ 0.3 pair mining,
@@ -1276,6 +1290,31 @@ object SparkEntry {
            WHEN avg_logprob >= $middleThreshold THEN 'middle'
            ELSE 'tail' END AS ppl_bucket
     FROM d"""
+
+  /** DSIR importance weights (mirrors `text.Dsir.importanceWeights` at
+   * buckets=4096 → 3-hex-char bucket ids, λ=0.5 → λB=2048): hashed
+   * unigram+bigram occurrences, one raw + conditional-target model
+   * aggregate, per-bucket log-ratio quantized to integer NANO-units (round
+   * at 9, ×1e9) so the per-doc sum is an exact integer — order- and
+   * engine-independent; logweight = nanos / 1e9, no post-sum rounding. */
+  private def dsirSql: String = s"""
+    WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+                         regexp_extract_all(lower(text), '$TOK') AS t FROM documents),
+    feat AS (SELECT doc_id, tgt, unnest(t) AS f FROM toks
+             UNION ALL
+             SELECT doc_id, tgt, array_to_string(t[i:i+1], ' ') AS f
+             FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 1, 0))) AS u(i)),
+    occ AS (SELECT doc_id, tgt, substring(md5(f), 1, 3) AS b FROM feat),
+    model AS (SELECT b, COUNT(*) AS cr, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+              FROM occ GROUP BY b),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM model),
+    ratio AS (SELECT b, CAST(ROUND(ROUND(LN((ct + 0.5) / (tt + 2048.0))
+                                       - LN((cr + 0.5) / (tr + 2048.0)), 9)
+                             * 1000000000.0, 0) AS BIGINT) AS ratio_nanos
+              FROM model CROSS JOIN tot)
+    SELECT occ.doc_id, COUNT(*) AS n_feats,
+           CAST(SUM(ratio.ratio_nanos) AS BIGINT) / 1000000000.0 AS logweight
+    FROM occ JOIN ratio ON occ.b = ratio.b GROUP BY occ.doc_id"""
 
   /** C4 cleaning over the arithmetically-synthesized multi-line corpus —
    * the construction (8-token lines, (doc_id+i)%4 terminators, lorem/brace
@@ -2408,6 +2447,14 @@ object SparkEntry {
     "q_component_sizes" -> componentSizesSql,
     "q_coreness" -> corenessSql(rounds = 3),
     "q_lm_score" -> lmScoreSql(headThreshold = -3.401, middleThreshold = -3.42),
+    "q_dsir" -> dsirSql,
+    // the resample wraps the weights CTE with the deterministic Gumbel draw
+    "q_dsir_select" -> s"""
+      WITH w AS ($dsirSql),
+      g AS (SELECT doc_id, ROUND(logweight - LN(-LN(
+              (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               + 0.5) / 4294967296.0)), 6) AS gumbel_key FROM w)
+      SELECT doc_id, gumbel_key FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100""",
     "q_semdedup" -> semDedupSql(k = 4, iters = 3, threshold = 0.3),
     "q_triangles" -> trianglesSql,
     "q_clustering_coeff" -> clusteringSql,

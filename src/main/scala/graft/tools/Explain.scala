@@ -347,6 +347,11 @@ object Explain {
         tau = 0.3)
       .explain("formatted")
 
+    println("==== DSIR weights: 2 corpus scans -> bucket-model agg -> broadcast ratio join -> per-doc agg ====")
+    graft.text.Dsir.importanceWeights(docsE, "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")
