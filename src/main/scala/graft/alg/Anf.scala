@@ -98,6 +98,25 @@ object Anf {
       lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
 
     val history = ListBuffer[Double](v.toDouble) // N(0) = |V|, exact
+    // resumed run: history must stay labeled by the TRUE hop index, or the
+    // neighborhood frame and the effective-diameter interpolation shift by
+    // the resume offset. Each completed superstep's state parquet is
+    // retained (Superstep never deletes checkpoint dirs), so the missing
+    // N(1..s) are reconstructed exactly: one tiny sum(ballEst) per hop over
+    // the checkpointed registers — init-time, O(resume point) small jobs.
+    if (resume) checkpointDir.foreach { dir =>
+      Superstep.latestComplete(dir).foreach { case (ss, _) =>
+        (1 to ss).foreach { h =>
+          val p = s"$dir/superstep=$h/data"
+          require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+            s"cannot resume ANF: superstep $h checkpoint missing at $p — " +
+              "hop-indexed history is not reconstructable (was the dir " +
+              "cleaned, or checkpointEvery > 1?); rerun without resume")
+          history += graft.sources.TableIO.read(spark, p)
+            .agg(sum(ballEst)).collect()(0).getDouble(0)
+        }
+      }
+    }
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxH, checkpointDir = checkpointDir,
         resume = resume, verbose = verbose)) { (state, _) =>

@@ -56,7 +56,19 @@ object ConnectedComponents {
    * merged old components: on a graph that mostly kept its structure the
    * loop converges in a couple of supersteps instead of O(label diameter).
    * Vertices absent from the snapshot (newly crawled) start at their own id;
-   * snapshot rows for vertices no longer in the graph are ignored. */
+   * snapshot rows for vertices no longer in the graph are ignored.
+   *
+   * PRECONDITION — edge ADDITIONS only: every edge of the snapshot's graph
+   * must still be present (possibly plus new ones). If the recrawl REMOVED
+   * edges, an old label can be smaller than the split-off component's true
+   * minimum, and HashMin — whose labels only ever decrease — can never
+   * raise it back: the output would name a component after a vertex outside
+   * it. The least()/coalesce() guards below catch malformed snapshot ROWS
+   * (label > vid, missing vertices), not removed EDGES — there is no O(V)
+   * check for those without the old edge list. For a removal recrawl run
+   * cold (warmStart = None); incremental DELETIONS need a different
+   * algorithm class entirely (recompute-affected-region), which is why the
+   * published incremental-WCC systems are insert-only too. */
   def run(edges: DataFrame,
           checkpointDir: Option[String] = None,
           resume: Boolean = false,

@@ -137,10 +137,15 @@ object Louvain {
       val state = localMoves(sym, roundsPerLevel) // a cut (materialized) frame
       val nNodes = state.count()
       val nComms = state.select("comm").distinct().count()
-      // re-map original vertices through this level's assignment
+      // re-map original vertices through this level's assignment; LEFT join:
+      // symmetrize() drops self-loops, so a vertex whose only edges are
+      // self-loops never enters the level state — it keeps its own community
+      // (coalesce) instead of silently vanishing from the output
       val g2 = global
-        .join(state.select(col(Graph.VID).as("comm"), col("comm").as("__c2")), "comm")
-        .select(col(Graph.VID), col("__c2").as("comm")).persist()
+        .join(state.select(col(Graph.VID).as("comm"), col("comm").as("__c2")),
+          Seq("comm"), "left")
+        .select(col(Graph.VID), coalesce(col("__c2"), col("comm")).as("comm"))
+        .persist()
       g2.count()
       global.unpersist(); global = g2
       if (nComms == nNodes) done = true

@@ -65,17 +65,15 @@ object Ann {
     }.reduce(_.bitwiseOR(_))
 
   /** All XOR masks of Hamming weight ≤ radius over `planes` bits — the
-   * multi-probe sequence (probe count: 1 + planes + planes·(planes-1)/2 at
-   * radius 2, a vanishing fraction of the 2^planes buckets as planes grow
-   * with corpus size). */
-  private[ann] def probeMasks(planes: Int, radius: Int): Seq[Long] = {
-    val r0 = Seq(0L)
-    val r1 = if (radius >= 1) (0 until planes).map(p => 1L << p) else Nil
-    val r2 = if (radius >= 2)
-      for (i <- 0 until planes; j <- i + 1 until planes) yield (1L << i) | (1L << j)
-    else Nil
-    r0 ++ r1 ++ r2
-  }
+   * multi-probe sequence (probe count: Σ_{r≤radius} C(planes, r), a
+   * vanishing fraction of the 2^planes buckets as planes grow with corpus
+   * size). Generic in the radius so the recall knob never silently caps. */
+  private[graft] def probeMasks(planes: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap {
+      case 0 => Seq(0L)
+      case r => (0 until planes).combinations(r)
+        .map(_.map(1L << _).reduce(_ | _)).toSeq
+    }
 
   /**
    * LSH-bucketed approximate top-k. `multiProbe`: also probe the buckets

@@ -291,13 +291,16 @@ object Graph {
    * one-row (assortativity) frame; null on degree-regular graphs (zero
    * variance). */
   def assortativity(edges: DataFrame): DataFrame = {
-    val und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // `und` appears twice in ONE plan (as the edge list and under the degree
+    // aggregate); its distinct() exchange is deduped by Catalyst's
+    // ReuseExchange, so no persist — a persisted frame on a lazily returned
+    // result would leak cached blocks for the session lifetime
+    val und = undirected(edges)
     val deg = outDegrees(und) // symmetrized: out-degree = undirected degree
-    val out = und
+    und
       .join(deg.select(col(VID).as(SRC), col("deg").as("__da")), SRC)
       .join(deg.select(col(VID).as(DST), col("deg").as("__db")), DST)
       .agg(corr(col("__da"), col("__db")).as("assortativity"))
-    out
   }
 
   /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for k = 0..maxK,
@@ -310,8 +313,9 @@ object Graph {
    * (k, n_k, e_k, phi) with φ rounded to 6 (0.0 when N_k < 2). */
   def richClub(edges: DataFrame, maxK: Int = 16): DataFrame = {
     val spark = edges.sparkSession
+    // no persist: the lazily returned frame would leak the cached blocks;
+    // und's distinct() exchange is reused across its two appearances
     val und = undirected(edges).filter(col(SRC) =!= col(DST))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = outDegrees(und)
     // canonical edge (a<b) with m = min endpoint degree; both histograms
     // are O(distinct degrees) rows — broadcast-sized at any graph scale

@@ -89,8 +89,14 @@ object MinHash {
                               bands: Int, threshold: Double,
                               id: String = "doc_id",
                               maxBucket: Int = 2000): DataFrame = {
-    val k = bands * bandRows(oldSigs, newSigs, bands)
-    val rows = k / bands
+    val rowsOpt = bandRows(oldSigs, newSigs, bands)
+    if (rowsOpt.isEmpty)
+      // both stores empty (first-ever increment with nothing crawled): no
+      // pairs by definition — typed empty frame instead of a .head crash
+      return newSigs.select(col(id).as("id_a"), col(id).as("id_b"),
+        lit(0.0).as("est_jaccard")).limit(0)
+    val rows = rowsOpt.get
+    val k = bands * rows
     val all = oldSigs.select(col(id), col("sig"), lit(false).as("is_new"))
       .unionByName(newSigs.select(col(id), col("sig"), lit(true).as("is_new")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -117,15 +123,19 @@ object MinHash {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** k/bands from the signature schema (both stores must agree on k). */
-  private def bandRows(oldSigs: DataFrame, newSigs: DataFrame, bands: Int): Int = {
+  /** k/bands from the signature schema (both stores must agree on k);
+   * None when both stores are empty. */
+  private def bandRows(oldSigs: DataFrame, newSigs: DataFrame, bands: Int): Option[Int] = {
     // array<...> length is not in the schema; contract: caller guarantees
     // equal k. Derive rows from a one-row probe of the old store.
     val k = oldSigs.select(size(col("sig"))).limit(1).collect()
       .headOption.map(_.getInt(0))
-      .getOrElse(newSigs.select(size(col("sig"))).limit(1).collect().head.getInt(0))
-    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    k / bands
+      .orElse(newSigs.select(size(col("sig"))).limit(1).collect()
+        .headOption.map(_.getInt(0)))
+    k.map { kk =>
+      require(kk % bands == 0, s"k=$kk must be divisible by bands=$bands")
+      kk / bands
+    }
   }
 
   /** Cross-engine-exact md5 variant: (id, sig: array<string>). Used by the

@@ -58,6 +58,15 @@ case class HeavyHittersAgg(
   override def dataType: DataType = HeavyHittersAgg.resultType
   override def prettyName: String = "heavy_hitters"
 
+  // analysis-time type gate: update() casts straight to UTF8String, so a
+  // non-string key would otherwise fail mid-job with ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (key.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters requires a STRING key, got ${key.dataType.catalogString}" +
+        " — cast(... as string) first")
+
   override def createAggregationBuffer(): Buf = new Buf
 
   override def update(buf: Buf, input: InternalRow): Buf = {

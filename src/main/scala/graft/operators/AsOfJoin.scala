@@ -63,21 +63,26 @@ object AsOfJoin {
     // left-only columns; side orders right (0) before left (1) at equal ts
     // so the match is inclusive (right.ts == left.ts matches)
     val leftOnly = leftCols.filterNot(c => c == key || c == ts)
+    // the payload rides as ONE struct so the running last() picks the whole
+    // most-recent right ROW atomically — per-column last(ignoreNulls) would
+    // tear a multi-column payload across right rows whenever the newest row
+    // carries a null field (an older non-null value would leak through)
+    val payT = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
     val l = left.select(
       (Seq(col(key), col(ts), lit(1).as("__side")) ++
-        leftOnly.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(payT).as("__pay")): _*)
     val r = right.select(
       (Seq(col(key), col(ts), lit(0).as("__side")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col)): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__pay")): _*)
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select((Seq(col(key), col(ts), col("__side")) ++ leftOnly.map(col) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
-    carried.filter(col("__side") === 1).drop("__side")
-      .select((leftCols ++ payload).map(col): _*)
+      .select((Seq(col(key), col(ts), col("__side")) ++ leftOnly.map(col) :+
+        last(col("__pay"), ignoreNulls = true).over(w).as("__pay")): _*)
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__pay.$p").as(p)): _*)
   }
 
   /**

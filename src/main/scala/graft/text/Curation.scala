@@ -137,12 +137,17 @@ object Curation {
     import spark.implicits._
     val counts = df.groupBy(key.cast("string").as("__mk"))
       .agg(count(lit(1)).as("__n")).as[(String, Long)].collect()
+    // empty corpus (everything filtered upstream): no rates to compute —
+    // return the empty frame with the output schema instead of empty.min
+    if (counts.isEmpty) return df.withColumn("mix_rate", lit(0.0)).limit(0)
     val nMin = counts.iterator.map(_._2).min
     val rates = counts.toSeq.toDF("__mk", "__n")
       .select(col("__mk"),
         round(pow(col("__n").cast("double") / lit(nMin.toDouble), lit(tau - 1.0)), 6)
           .as("mix_rate"))
-    sampleByWeight(df.join(broadcast(rates), key.cast("string") === col("__mk")),
+    // null-safe equality: a NULL key is a real stratum (it was counted
+    // above) — plain === would silently drop those rows from the output
+    sampleByWeight(df.join(broadcast(rates), key.cast("string") <=> col("__mk")),
       id, col("mix_rate")).drop("__mk")
   }
 

@@ -44,8 +44,10 @@ object Decontaminate {
       .join(bside, "gram")
       .select(col("id")).distinct()
       .withColumn("contaminated", lit(true))
+    // drop the join-side column BY REFERENCE: drop("id") would remove BOTH
+    // columns named "id" when the caller's idCol is itself "id"
     docs.join(hit, docs(idCol) === hit("id"), "left")
-      .drop("id")
+      .drop(hit("id"))
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 }

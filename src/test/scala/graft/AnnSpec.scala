@@ -132,4 +132,16 @@ class AnnSpec extends SparkSpec {
     val top = Ann.bruteForceTopK(emb, queries, k = 10)
     assert(top.count() == 20)
   }
+
+  test("probeMasks covers every Hamming weight up to the requested radius") {
+    def choose(n: Int, k: Int): Long =
+      (1 to k).map(i => (n - i + 1).toDouble / i).product.round
+    for (radius <- 0 to 3) {
+      val masks = Ann.probeMasks(8, radius)
+      assert(masks.distinct.size == masks.size)
+      assert(masks.forall(m => java.lang.Long.bitCount(m) <= radius))
+      val expect = (0 to radius).map(r => choose(8, r)).sum
+      assert(masks.size.toLong == expect, s"radius=$radius got ${masks.size}")
+    }
+  }
 }

@@ -79,4 +79,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(c == b)
     assert(AsOfJoin.asof(l, r, "k", "t", Seq("v")).count() == n)
   }
+
+  test("multi-column payload is atomic: a null field in the newest right row wins") {
+    val l = Seq((1L, 10L, 3L)).toDF("id", "k", "t")
+    val r = Seq((10L, 1L, Some(5.0), Some(7.0)), (10L, 2L, Some(9.0), None))
+      .toDF("k", "t", "a", "b")
+    // the newest matching right row (t=2) carries b=null; per-column
+    // last(ignoreNulls) would smuggle b=7.0 in from the OLDER row — both
+    // strategies must return the t=2 row verbatim: (a=9.0, b=null)
+    val win = AsOfJoin.asof(l, r, "k", "t", Seq("a", "b")).collect()(0)
+    assert(win.getDouble(3) == 9.0 && win.isNullAt(4))
+    val buck = AsOfJoin.asofBucketed(l, r, "k", "t", "id", Seq("a", "b"),
+      toleranceMs = 100L, bucketMs = 64L).collect()(0)
+    assert(buck.getDouble(3) == 9.0 && buck.isNullAt(4))
+  }
 }

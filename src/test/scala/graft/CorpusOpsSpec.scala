@@ -43,6 +43,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run(bcast = false) == expected) // broadcast is a perf knob only
   }
 
+  test("flagContaminated keeps the id when the caller's idCol is itself 'id'") {
+    // drop("id") by name would remove BOTH sides' id columns after the join
+    val docs = Seq((0L, "alpha beta gamma delta"), (1L, "zz yy xx ww"))
+      .toDF("id", "text")
+    val bench = docs.filter(col("id") === 0L)
+    val out = Decontaminate.flagContaminated(docs, bench, "id", "text", 3)
+    assert(out.columns.toSeq == Seq("id", "text", "contaminated"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(m == Map(0L -> true, 1L -> false))
+  }
+
   test("url normalization: case, fragments, default ports, root slash") {
     val cases = Seq(
       "HTTPS://WWW.Example.COM/Path/File?Q=Mixed#Frag" ->

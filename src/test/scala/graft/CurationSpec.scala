@@ -179,4 +179,17 @@ class CurationSpec extends SparkSpec {
     // document rule rejects the page: has_brace
     assert(got(3L)._2 == 3L && !got(3L)._3)
   }
+
+  test("temperatureMix: empty corpus returns empty; NULL key is a real stratum") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "lang")
+    val e = Curation.temperatureMix(empty, col("lang"), col("id"), tau = 0.5)
+    assert(e.columns.contains("mix_rate") && e.count() == 0)
+    // NULL is the rarest stratum (10 of 40): rate 1.0, every row must
+    // survive — a plain === join would silently drop them all
+    val withNull = (0 until 40)
+      .map(i => (i.toLong, if (i % 4 == 0) null else "en"))
+      .toDF("id", "lang")
+    val kept = Curation.temperatureMix(withNull, col("lang"), col("id"), tau = 0.5)
+    assert(kept.filter(col("lang").isNull).count() == 10L)
+  }
 }

@@ -178,4 +178,11 @@ class DedupSpec extends SparkSpec {
     val sh = SimHash.fingerprints(real, "doc_id", "text")
     assert(sh.count() == real.count())
   }
+
+  test("incremental minhash: both stores empty returns an empty typed frame") {
+    val none = MinHash.md5Signatures(docs, 8, n = 4).limit(0)
+    val out = MinHash.incrementalNearDupPairs(none, none, bands = 4, threshold = 0.5)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "est_jaccard"))
+    assert(out.count() == 0)
+  }
 }

@@ -92,4 +92,12 @@ class FunctionsSpec extends SparkSpec {
     assert(mustSurvive.subsetOf(items.map(_._1).toSet))
     assert(items.map(_._1).contains("hot"))
   }
+
+  test("heavy hitters rejects a non-string key at analysis time") {
+    val df = Seq(1L, 2L, 2L).toDF("k")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(graft.functions.HeavyHittersAgg.heavyHitters(col("k"), 4)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"))
+  }
 }

@@ -76,4 +76,15 @@ class LouvainSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("self-loop-only vertices keep their own community in the output") {
+    // symmetrize() drops self-loops, so vertex 1 never enters the level
+    // state — it must still appear in the final mapping, as its own comm
+    val e = Seq((1L, 1L), (2L, 3L)).toDF("src", "dst")
+    val m = Louvain.run(e, roundsPerLevel = 2, maxLevels = 2)
+      .communities.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+    assert(m(1L) == 1L)
+    assert(m(2L) == m(3L))
+  }
 }
