@@ -133,8 +133,13 @@ object Graph {
   /** Drop vertices with no in- and no out-edges — `graph_remove_singletons`
    * (`totem_graph.cu:468-485`). On an edge table every endpoint has degree,
    * so this operates on a vertex table. */
-  def removeSingletons(vertexDf: DataFrame, edges: DataFrame): DataFrame =
-    vertexDf.join(vertices(edges), vertexDf(VID) === vertices(edges)(VID), "left_semi")
+  def removeSingletons(vertexDf: DataFrame, edges: DataFrame): DataFrame = {
+    // bind the semi-join side ONCE: a second vertices(edges) call mints new
+    // attribute ids, so a condition built from it resolves against neither
+    // join side and the analyzer rejects the plan
+    val live = vertices(edges).withColumnRenamed(VID, "__live")
+    vertexDf.join(live, vertexDf(VID) === live("__live"), "left_semi")
+  }
 
   /** Induced subgraph on a kept-vertex set — `get_subgraph`
    * (`totem_graph.cu:409-466`). `kept` must have a `vid` column. */
@@ -274,7 +279,9 @@ object Graph {
     val ecnt = e.count()
     val selfLoops = e.filter(col(SRC) === col(DST)).count()
     val dup = ecnt - e.distinct().count()
-    val maxDeg = outDegrees(e).agg(max("deg")).collect()(0).getLong(0)
+    // coalesce: max over an empty edge set is null, and an empty snapshot is
+    // a legitimate incremental-pipeline input
+    val maxDeg = outDegrees(e).agg(coalesce(max("deg"), lit(0L))).collect()(0).getLong(0)
     val spark = edges.sparkSession
     import spark.implicits._
     val out = Seq((v, ecnt, selfLoops, dup, maxDeg))

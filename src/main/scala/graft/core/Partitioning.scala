@@ -29,7 +29,10 @@ object Partitioning {
    */
   def edgeBalancedBuckets(edges: DataFrame, numBuckets: Int): DataFrame = {
     val deg = Graph.outDegrees(edges)
-    val total = deg.agg(sum("deg")).collect()(0).getLong(0).toDouble
+    // coalesce: sum over zero rows is null — an empty snapshot is a
+    // legitimate incremental-pipeline input, not a crash
+    val total = deg.agg(coalesce(sum("deg"), lit(0L)))
+      .collect()(0).getLong(0).toDouble max 1.0
     // distributed running sum in (deg desc, vid) order — range-partitioned
     // per-bucket windows + broadcast prefix-sum offsets (Ranking), never a
     // single-task global window
@@ -48,10 +51,19 @@ object Partitioning {
    */
   def hubIsolatedBuckets(edges: DataFrame, numBuckets: Int, hubDegree: Long): DataFrame = {
     val deg = Graph.outDegrees(edges)
+    // disjoint ranges: hubs own [0, hubB), non-hubs hash over the REMAINING
+    // [hubB, numBuckets) — hashing non-hubs over the full range would pile a
+    // regular share on top of every hub bucket, defeating the isolation
+    val hubB = numBuckets / 4 max 1
+    val rest = numBuckets - hubB
+    val nonHub =
+      if (rest > 0)
+        lit(hubB) + pmod(xxhash64(col(Graph.VID), lit(1L)), lit(rest))
+      else pmod(xxhash64(col(Graph.VID), lit(1L)), lit(numBuckets)) // no room to isolate
     deg.withColumn("bucket",
       when(col("deg") >= hubDegree,
-        pmod(xxhash64(col(Graph.VID)), lit(numBuckets / 4 max 1)).cast("int"))
-        .otherwise(pmod(xxhash64(col(Graph.VID), lit(1L)), lit(numBuckets)).cast("int")))
+        pmod(xxhash64(col(Graph.VID)), lit(hubB)).cast("int"))
+        .otherwise(nonHub.cast("int")))
       .select(col(Graph.VID), col("deg"), col("bucket"))
   }
 
@@ -75,10 +87,7 @@ object Partitioning {
    * (cross-engine float contract); a part holding all edge mass (vol =
    * total) reports conductance 0. */
   def conductance(edges: DataFrame, parts: DataFrame): DataFrame = {
-    val sym = edges.select(col(Graph.SRC), col(Graph.DST))
-      .union(edges.select(col(Graph.DST).as(Graph.SRC), col(Graph.SRC).as(Graph.DST)))
-      .filter(col(Graph.SRC) =!= col(Graph.DST))
-      .distinct()
+    val sym = Graph.undirected(edges).filter(col(Graph.SRC) =!= col(Graph.DST))
     val tagged = sym
       .join(parts.select(col(Graph.VID).as(Graph.SRC), col("part").as("__ps")), Graph.SRC)
       .join(parts.select(col(Graph.VID).as(Graph.DST), col("part").as("__pd")), Graph.DST)

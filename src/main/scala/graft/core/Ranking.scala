@@ -3,7 +3,6 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed global ordering primitives.
@@ -45,9 +44,19 @@ object Ranking {
       perPartition: (DataFrame, org.apache.spark.sql.expressions.WindowSpec) => DataFrame)
   : DataFrame = {
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(buckets, order: _*)
+    // FREEZE the range partitioning: pin the exchange to one concrete RDD so
+    // the totals job here and the caller's later execution read the SAME
+    // shuffle output (Spark skips the map stage on the reused shuffle
+    // dependency). Re-planning a repartitionByRange per action would
+    // re-SAMPLE the range boundaries (the sampler's seed varies with the
+    // physical RDD id): on data large enough for partial sampling the two
+    // executions could place rows in different __pid ranges than the
+    // offsets were computed from, silently corrupting every rank. A
+    // persist-then-unpersist cannot guarantee this (blocks may drop before
+    // the caller runs); shuffle-file reuse can, with no cache footprint.
+    val rangedPlan = df.repartitionByRange(buckets, order: _*)
+    val ranged = spark.createDataFrame(rangedPlan.rdd, rangedPlan.schema)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val totals = ranged.groupBy("__pid").agg(total.as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (totals.isEmpty) 0 else totals.keys.max
@@ -63,7 +72,6 @@ object Ranking {
       .join(broadcast(offDf), "__pid")
       .withColumn("__g", col("__off") + col("__v"))
       .drop("__pid", "__v", "__off")
-    ranged.unpersist(blocking = false)
     out
   }
 }

@@ -37,10 +37,7 @@ object Spinner {
   /** Symmetric unit frame (src, dst): both directions, distinct, no
    * self-loops — partitioning treats the link graph as undirected. */
   private def symmetrize(edges: DataFrame): DataFrame =
-    edges.select(col(Graph.SRC), col(Graph.DST))
-      .union(edges.select(col(Graph.DST).as(Graph.SRC), col(Graph.SRC).as(Graph.DST)))
-      .filter(col(Graph.SRC) =!= col(Graph.DST))
-      .distinct()
+    Graph.undirected(edges).filter(col(Graph.SRC) =!= col(Graph.DST))
 
   /**
    * Run `rounds` synchronous Spinner rounds; returns (vid, part) with
@@ -54,7 +51,14 @@ object Spinner {
     val sym = symmetrize(edges)
     val deg = sym.groupBy(col(Graph.SRC).as(Graph.VID))
       .agg(count(lit(1)).cast("double").as("deg")).persist()
-    val totalDeg = deg.agg(sum("deg")).collect()(0).getDouble(0)
+    // empty graph (nothing but self-loops, or no edges at all): nothing to
+    // place — return the empty (vid, part) frame instead of NPE on a null sum
+    val totalRow = deg.agg(sum("deg")).collect()(0)
+    if (totalRow.isNullAt(0)) {
+      deg.unpersist(blocking = false)
+      return deg.select(col(Graph.VID), lit(0).as("part")).limit(0)
+    }
+    val totalDeg = totalRow.getDouble(0)
     val capacity = capacityFactor * totalDeg / k
     // per-round state is referenced by totals, weights, scoring and the
     // update — cut once per round so the logical plan stays linear

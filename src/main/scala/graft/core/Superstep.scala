@@ -137,7 +137,12 @@ object Superstep {
   private def writeManifest(dir: String, m: StepMetrics, perPart: Map[Int, Long], cfg: Config): Unit = {
     val pp = perPart.toSeq.sortBy(_._1)
       .map { case (p, n) => s"""{"partition":$p,"rows":$n}""" }.mkString("[", ",", "]")
-    val parent = if (m.superstep == 1) "null" else s""""$dir/superstep=${m.superstep - 1}/data""""
+    // the parent is the previous CHECKPOINTED superstep: with
+    // checkpointEvery > 1 the intermediate steps were only localCheckpoint'ed
+    // and have no data dir — recording N-1 would point lineage at a path
+    // that never existed
+    val parentStep = m.superstep - cfg.checkpointEvery
+    val parent = if (parentStep < 1) "null" else s""""$dir/superstep=$parentStep/data""""
     val json =
       s"""{"superstep":${m.superstep},"status":"complete","wall_ms":${m.wallMs},
          |"state_rows":${m.stateRows},"edges_traversed":${m.edgesTraversed},
@@ -154,15 +159,21 @@ object Superstep {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return None
     import scala.jdk.CollectionConverters._
-    val steps = Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("superstep="))
-      .flatMap { p =>
-        val ss = p.getFileName.toString.stripPrefix("superstep=").toIntOption
-        val mf = p.resolve("manifest.json")
-        ss.filter(_ => Files.exists(mf) &&
-          Files.readString(mf).contains(""""status":"complete""""))
-          .map(s => (s, p.resolve("data").toString))
-      }.toSeq
+    // Files.list holds an open directory stream — close it or leak an fd
+    // per resume probe
+    val listing = Files.list(root)
+    val steps =
+      try {
+        listing.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("superstep="))
+          .flatMap { p =>
+            val ss = p.getFileName.toString.stripPrefix("superstep=").toIntOption
+            val mf = p.resolve("manifest.json")
+            ss.filter(_ => Files.exists(mf) &&
+              Files.readString(mf).contains(""""status":"complete""""))
+              .map(s => (s, p.resolve("data").toString))
+          }.toSeq
+      } finally listing.close()
     steps.sortBy(_._1).lastOption
   }
 

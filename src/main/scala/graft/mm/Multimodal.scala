@@ -200,10 +200,18 @@ object Multimodal {
       if (scale <= 1) m
       else {
         // ---- STUB: real resize = codec decode + area-filter + re-encode ----
-        val stride = scale * scale
-        val out = Array.tabulate[Byte]((m.payload.length + stride - 1) / stride)(j =>
-          m.payload(j * stride))
-        m.copy(payload = out, width = m.width / scale, height = m.height / scale)
+        // 2D point-sample so the raw8 invariant payload.length == w×h
+        // survives the resize (a 1D stride subsample breaks it under
+        // integer division); non-raw payloads clamp into range.
+        val w = math.max(1, m.width / scale)
+        val h = math.max(1, m.height / scale)
+        val out =
+          if (m.payload.isEmpty) m.payload
+          else Array.tabulate[Byte](w * h) { j =>
+            val src = (j / w) * scale * m.width + (j % w) * scale
+            m.payload(math.min(src, m.payload.length - 1))
+          }
+        m.copy(payload = out, width = w, height = h)
       }
     }
   }

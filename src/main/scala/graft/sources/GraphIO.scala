@@ -71,7 +71,8 @@ object GraphIO {
   def writeText(edges: DataFrame, path: String, directed: Boolean = true): Unit = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val v = graft.core.Graph.vertices(edges).agg(max("vid")).collect()(0).getLong(0) + 1
+    val v = graft.core.Graph.vertices(edges).agg(coalesce(max("vid"), lit(-1L)))
+      .collect()(0).getLong(0) + 1
     val e = edges.count()
     val hasW = edges.columns.contains("weight")
     val header = Seq(s"# NODES: $v", s"# EDGES: $e",
@@ -79,7 +80,6 @@ object GraphIO {
     val body = (if (hasW)
       edges.select(concat_ws(" ", col("src"), col("dst"), col("weight")).as("line"))
     else edges.select(concat_ws(" ", col("src"), col("dst")).as("line")))
-      .orderBy(col("line"))
     header.union(body.orderBy(split(col("line"), " ")(0).cast("long"),
       split(col("line"), " ")(1).cast("long")))
       .coalesce(1).write.mode("overwrite").text(path)

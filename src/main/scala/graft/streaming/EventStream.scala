@@ -165,7 +165,7 @@ object EventStream {
   /** writeStream sink helper: parquet append with checkpointing. */
   def writeEventStream(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream
-      .outputMode(if (df.isStreaming) "append" else "append")
+      .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .format("parquet")
       .option("path", outDir)

@@ -122,6 +122,9 @@ class GraphOpsSpec extends SparkSpec {
     }
     val resized = Multimodal.resize(media, maxSide = 16).collect()
     assert(resized.forall(m => m.width <= 16 || m.height <= 16))
+    // raw8 invariant survives the resize: one byte per pixel
+    assert(resized.forall(m => m.payload.length == m.width * m.height),
+      resized.map(m => s"${m.payload.length} vs ${m.width}x${m.height}").mkString(","))
     // deterministic
     val feats2 = Multimodal.imageFeatures(media).collect()
     assert(feats.map(_.mean_luma).toSeq == feats2.map(_.mean_luma).toSeq)
