@@ -54,8 +54,14 @@ object Ranking {
     // offsets were computed from, silently corrupting every rank. A
     // persist-then-unpersist cannot guarantee this (blocks may drop before
     // the caller runs); shuffle-file reuse can, with no cache footprint.
+    // Frozen at the InternalRow level (same bridge as Lineage.cut) — a
+    // df.rdd round-trip would decode/re-encode every row, which for
+    // shufflePositions means the full document text. The defensive copy()
+    // is required: the shuffle reader reuses one row buffer per stream.
     val rangedPlan = df.repartitionByRange(buckets, order: _*)
-    val ranged = spark.createDataFrame(rangedPlan.rdd, rangedPlan.schema)
+    val internal = rangedPlan.queryExecution.toRdd.map(_.copy())
+    val ranged = org.apache.spark.sql.graftinternal.GraftSql
+      .fromInternalRdd(spark, internal, rangedPlan.schema)
       .withColumn("__pid", spark_partition_id())
     val totals = ranged.groupBy("__pid").agg(total.as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
