@@ -469,6 +469,15 @@ object SparkEntry {
       graft.alg.RandomWalk.biasedWalks(eMOD(s, dir),
         graft.core.Graph.vertices(eMOD(s, dir)), length = 6,
         p = 2.0, q = 0.5, seed = 42L)),
+    "q_walk_pairs" -> ((s, dir) => {
+      // skip-gram (center, context) pair counts within a ±3 window over the
+      // q_random_walk corpus — the walks→training-pairs step of a DeepWalk
+      // embedding pipeline; one walk-keyed agg + codegen'd pair expansion
+      val walks = graft.alg.RandomWalk.walksFromAll(eMOD(s, dir), length = 8, seed = 42L)
+      graft.alg.RandomWalk.contextPairs(walks, window = 3)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).cast("long").as("pairs"))
+    }),
 
     // ---- event stream (batch = streaming plan, driver-checkable) ----
     "q_event_windows" -> ((s, dir) =>
@@ -2834,6 +2843,14 @@ object SparkEntry {
       LIMIT 50""",
     "q_random_walk" -> randomWalkSql(length = 8, seed = 42L),
     "q_node2vec" -> biasedWalkSql(length = 6, p = 2.0, q = 0.5, seed = 42L),
+    // pair census = walk self-join within the window; the Spark side's
+    // positional array expansion must aggregate to the same counts
+    "q_walk_pairs" -> s"""
+      WITH W AS MATERIALIZED (SELECT * FROM (${randomWalkSql(length = 8, seed = 42L)}))
+      SELECT a.vid AS center, b.vid AS context, CAST(COUNT(*) AS BIGINT) AS pairs
+      FROM W a JOIN W b
+        ON a.walk = b.walk AND a.step <> b.step AND ABS(a.step - b.step) <= 3
+      GROUP BY 1, 2""",
     "q_event_windows" -> """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value

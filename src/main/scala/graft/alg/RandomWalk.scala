@@ -146,4 +146,37 @@ object RandomWalk {
     e.unpersist(blocking = false)
     frames.result().reduce(_.unionByName(_))
   }
+
+  /**
+   * Skip-gram training pairs from a walk corpus — the step that turns
+   * [[walks]]/[[biasedWalks]] output into what an embedding trainer
+   * (DeepWalk/node2vec, word2vec objective) actually consumes: every
+   * (center, context) vertex pair whose positions in the same walk are at
+   * most `window` apart, with the signed `offset` (context − center
+   * position) kept for position-weighted objectives.
+   *
+   * Scale shape: ONE walk-keyed aggregation folds each walk into its
+   * ordered step sequence (bounded at length+1 elements — walks are short
+   * by construction, so the collect_list is O(length), never a hub-sized
+   * array), then pair generation is a pure codegen'd array expression +
+   * explode: per walk O(length·window) output rows and zero further
+   * shuffle. The walk² self-join formulation this replaces would shuffle
+   * the corpus twice and produce length² candidates per walk before the
+   * window filter.
+   */
+  def contextPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    // struct sort key = (step, vid); steps are unique per walk so this is
+    // exactly the step order, and sink-halted walks just yield fewer pairs
+    walks.groupBy(col("walk"))
+      .agg(array_sort(collect_list(struct(col("step"), col(Graph.VID)))).as("seq"))
+      .select(col("walk"), explode(expr(
+        s"""flatten(transform(sequence(0, size(seq) - 1), i ->
+              transform(
+                filter(sequence(greatest(0, i - $window),
+                                least(size(seq) - 1, i + $window)), j -> j != i),
+                j -> struct(seq[i].vid AS center, seq[j].vid AS context,
+                            j - i AS offset))))""")).as("pr"))
+      .select(col("walk"), col("pr.center"), col("pr.context"), col("pr.offset"))
+  }
 }

@@ -352,6 +352,13 @@ object Explain {
         isTarget = col("lang") === "en")
       .explain("formatted")
 
+    println("==== walk context pairs: ONE walk-keyed agg + codegen'd pair expansion (no walk^2 join) ====")
+    graft.alg.RandomWalk.contextPairs(
+        graft.alg.RandomWalk.walks(edges, Graph.vertices(edges).limit(64),
+          length = 4, seed = 1L), window = 2)
+      .groupBy("center", "context").count()
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")

@@ -139,4 +139,45 @@ class RandomWalkSpec extends SparkSpec {
       .filter("step = 1").collect().map(_.getLong(2)).toSeq
     assert(got == Seq(want))
   }
+
+  test("contextPairs: hand oracle on a fixed walk, window clipping at the ends") {
+    // one hand-built walk 10 -> 11 -> 12 -> 13, window 2
+    val walks = Seq((5L, 0, 10L), (5L, 1, 11L), (5L, 2, 12L), (5L, 3, 13L))
+      .toDF("walk", "step", "vid")
+    val got = RandomWalk.contextPairs(walks, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val seq = IndexedSeq(10L, 11L, 12L, 13L)
+    val want = (for {
+      i <- seq.indices; j <- seq.indices
+      if i != j && math.abs(i - j) <= 2
+    } yield (5L, seq(i), seq(j), j - i)).toSet
+    assert(got == want)
+    assert(got.size == 10) // 2*(2+3+3+2)/2 ordered pairs
+  }
+
+  test("contextPairs: matches a driver-side expansion of real walks and is symmetric") {
+    val g = GraphGen.uniform(spark, 15, 80, seed = 5).cache()
+    val walks = RandomWalk.walksFromAll(g, length = 6, seed = 42L).cache()
+    val window = 3
+    val got = RandomWalk.contextPairs(walks, window).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val byWalk = walks.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toIndexedSeq).toMap
+    val want = (for {
+      (w, seq) <- byWalk.toSeq
+      i <- seq.indices; j <- seq.indices
+      if i != j && math.abs(i - j) <= window
+    } yield (w, seq(i), seq(j), j - i)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want)
+    // the aggregated pair census is symmetric: every (i,j) has its (j,i)
+    val census = got.toSeq.groupBy { case ((_, c, x, _), _) => (c, x) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(census.forall { case ((c, x), n) => census.get((x, c)).contains(n) })
+  }
+
+  test("contextPairs: a single-row walk (start at a sink) yields no pairs") {
+    val walks = Seq((9L, 0, 9L)).toDF("walk", "step", "vid")
+    assert(RandomWalk.contextPairs(walks, window = 3).count() == 0L)
+  }
 }
