@@ -83,7 +83,7 @@ object Bench {
     "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk", "q_walk_pairs",
     "q_mis", "q_matching", "q_msf",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",
-    "q_ann_topk", "q_token_stats", "q_lang_id", "q_quality",
+    "q_ann_topk", "q_embed_smooth", "q_token_stats", "q_lang_id", "q_quality",
     "q_event_windows", "q_sessionize", "q_ngram_jaccard",
     // round-3 batch 2: corpus-curation surface — the map-only passes
     // (q_pii, q_url_norm, q_stratified_sample) should bench at scan speed

@@ -630,6 +630,13 @@ object SparkEntry {
       graft.ann.Ann.semDedup(emb, m.assignments, threshold = 0.3)
         .select(col("vec_id"), col("cid").cast("long").as("cid"), col("keep"))
     }),
+    "q_embed_smooth" -> ((s, dir) =>
+      // GNN mean-aggregation feature smoothing over the mod link graph
+      // (2 rounds, alpha=0.5) — graph-regularized embeddings in exact
+      // integer micro-units, so the unrolled DuckDB rounds match hash-exact
+      graft.ann.FeatureProp.exploded(eMOD(s, dir), embeddings(s, dir),
+          "vec_id", "embedding", alpha = 0.5, rounds = 2)
+        .select(col("vid").as("vec_id"), col("pos"), col("uv").as("micro"))),
     "q_tfidf" -> ((s, dir) =>
       // top-5 keywords per document by smoothed TF-IDF — two map-side-
       // combinable aggregates + a term-keyed join + per-doc window
@@ -2220,6 +2227,46 @@ object SparkEntry {
     s"""${kmeansCtes(k, iters)}
       SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2 FROM afinal"""
 
+  /** Unrolled feature-smoothing oracle — mirrors
+   * [[graft.ann.FeatureProp.exploded]] round for round in integer
+   * micro-units: the per-round blend is the ONE identical double
+   * expression on both engines; everything else is exact integer
+   * arithmetic (the neighbor sum is over BIGINTs, so accumulation order
+   * cannot matter — the same cross-engine discipline as the DSIR
+   * nano-unit weights). */
+  private def embedSmoothSql(rounds: Int, alpha: Double): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    val oneMinus = s"CAST(${1.0 - alpha} AS DOUBLE)"
+    val init = s"""
+      WITH und AS MATERIALIZED (
+        SELECT src, dst FROM (
+          SELECT src, dst FROM ($SqlEMOD)
+          UNION SELECT dst AS src, src AS dst FROM ($SqlEMOD))
+        WHERE src <> dst
+          AND src IN (SELECT vec_id FROM embeddings)
+          AND dst IN (SELECT vec_id FROM embeddings)),
+      dg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY 1),
+      p AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      x0 AS MATERIALIZED (
+        SELECT vec_id AS vid, CAST(generate_subscripts(e, 1) AS BIGINT) AS pos,
+          CAST(FLOOR(unnest(e) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS uv FROM p)"""
+    val steps = (1 to rounds).map { i =>
+      s"""
+      , m$i AS MATERIALIZED (
+          SELECT u.dst AS vid, x.pos, SUM(x.uv) AS s
+          FROM und u JOIN x${i - 1} x ON u.src = x.vid GROUP BY 1, 2)
+      , x$i AS MATERIALIZED (
+          SELECT x.vid, x.pos,
+            CASE WHEN m.s IS NOT NULL AND d.deg > 0
+              THEN CAST(FLOOR($oneMinus * x.uv + $a * (CAST(m.s AS DOUBLE) / d.deg) + 0.5) AS BIGINT)
+              ELSE x.uv END AS uv
+          FROM x${i - 1} x
+          LEFT JOIN m$i m ON m.vid = x.vid AND m.pos = x.pos
+          LEFT JOIN dg d ON d.vid = x.vid)"""
+    }.mkString
+    init + steps + s"\n      SELECT vid AS vec_id, pos, uv AS micro FROM x$rounds"
+  }
+
   private def clusterSampleSql(k: Int, iters: Int, perCluster: Int): String =
     s"""${kmeansCtes(k, iters)}
       SELECT vec_id, cid, rnk FROM (
@@ -2465,6 +2512,7 @@ object SparkEntry {
                + 0.5) / 4294967296.0)), 6) AS gumbel_key FROM w)
       SELECT doc_id, gumbel_key FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100""",
     "q_semdedup" -> semDedupSql(k = 4, iters = 3, threshold = 0.3),
+    "q_embed_smooth" -> embedSmoothSql(rounds = 2, alpha = 0.5),
     "q_triangles" -> trianglesSql,
     "q_clustering_coeff" -> clusteringSql,
     "q_bfs" -> bfsSql,
