@@ -2231,9 +2231,9 @@ object SparkEntry {
    * [[graft.ann.FeatureProp.exploded]] round for round in integer
    * micro-units: the per-round blend is the ONE identical double
    * expression on both engines; everything else is exact integer
-   * arithmetic (the neighbor sum is over BIGINTs, so accumulation order
-   * cannot matter — the same cross-engine discipline as the DSIR
-   * nano-unit weights). */
+   * arithmetic (the neighbor sum is over BIGINTs and the divisor is the
+   * per-position contributor COUNT, so accumulation order cannot matter —
+   * the same cross-engine discipline as the DSIR nano-unit weights). */
   private def embedSmoothSql(rounds: Int, alpha: Double): String = {
     val a = s"CAST($alpha AS DOUBLE)"
     val oneMinus = s"CAST(${1.0 - alpha} AS DOUBLE)"
@@ -2245,7 +2245,6 @@ object SparkEntry {
         WHERE src <> dst
           AND src IN (SELECT vec_id FROM embeddings)
           AND dst IN (SELECT vec_id FROM embeddings)),
-      dg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY 1),
       p AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       x0 AS MATERIALIZED (
         SELECT vec_id AS vid, CAST(generate_subscripts(e, 1) AS BIGINT) AS pos,
@@ -2253,16 +2252,15 @@ object SparkEntry {
     val steps = (1 to rounds).map { i =>
       s"""
       , m$i AS MATERIALIZED (
-          SELECT u.dst AS vid, x.pos, SUM(x.uv) AS s
+          SELECT u.dst AS vid, x.pos, SUM(x.uv) AS s, COUNT(*) AS c
           FROM und u JOIN x${i - 1} x ON u.src = x.vid GROUP BY 1, 2)
       , x$i AS MATERIALIZED (
           SELECT x.vid, x.pos,
-            CASE WHEN m.s IS NOT NULL AND d.deg > 0
-              THEN CAST(FLOOR($oneMinus * x.uv + $a * (CAST(m.s AS DOUBLE) / d.deg) + 0.5) AS BIGINT)
+            CASE WHEN m.s IS NOT NULL
+              THEN CAST(FLOOR($oneMinus * x.uv + $a * (CAST(m.s AS DOUBLE) / m.c) + 0.5) AS BIGINT)
               ELSE x.uv END AS uv
           FROM x${i - 1} x
-          LEFT JOIN m$i m ON m.vid = x.vid AND m.pos = x.pos
-          LEFT JOIN dg d ON d.vid = x.vid)"""
+          LEFT JOIN m$i m ON m.vid = x.vid AND m.pos = x.pos)"""
     }.mkString
     init + steps + s"\n      SELECT vid AS vec_id, pos, uv AS micro FROM x$rounds"
   }

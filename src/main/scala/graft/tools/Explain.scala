@@ -359,9 +359,9 @@ object Explain {
       .groupBy("center", "context").count()
       .explain("formatted")
 
-    println("==== feature smoothing round: edge join + (vid,pos) sum + blend join (PageRank plan x dim) ====")
-    // mirrors one FeatureProp.exploded round (the real loop cuts lineage
-    // per round, so explaining its output shows only the frozen RDD)
+    println("==== feature smoothing round: edge join + (vid,pos) sum+count + blend join (PageRank plan x dim) ====")
+    // the REAL round builder (the loop cuts lineage per round, so explaining
+    // its output would show only the frozen RDD — explain the round itself)
     val embE = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val undE = Graph.undirected(edges.filter(col("src") < 500 && col("dst") < 500))
       .filter(col("src") =!= col("dst"))
@@ -369,16 +369,7 @@ object Explain {
       .select(col("vec_id").as("vid"), posexplode(col("embedding")).as(Seq("p0", "v")))
       .select(col("vid"), (col("p0") + 1).cast("long").as("pos"),
         floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("uv"))
-      .join(undE.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg")),
-        Seq("vid"), "left").na.fill(0L, Seq("deg"))
-    val msgsE = undE.join(stE.hint("shuffle_hash"), undE("src") === stE("vid"))
-      .select(undE("dst").as("vid"), col("pos"), col("uv"))
-      .groupBy("vid", "pos").agg(sum("uv").as("s"))
-    stE.join(msgsE.hint("shuffle_hash"), Seq("vid", "pos"), "left")
-      .select(col("vid"), col("pos"),
-        when(col("s").isNotNull && col("deg") > 0L,
-          floor(lit(0.5) * col("uv") + lit(0.5) * (col("s").cast("double") / col("deg")) + 0.5)
-            .cast("long")).otherwise(col("uv")).as("uv"))
+    graft.ann.FeatureProp.round(undE, stE, alpha = 0.5)
       .explain("formatted")
 
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")

@@ -47,6 +47,16 @@ class FeaturePropSpec extends SparkSpec {
     assert(a1((7L, 1L)) == 9000000L) // isolated: no neighbors, keeps self
   }
 
+  test("ragged vectors: per-position mean is over contributing neighbors only") {
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val f = feats(1L -> Seq(0.0, 0.0), 2L -> Seq(10.0, 8.0), 3L -> Seq(10.0))
+    val got = micro(FeatureProp.exploded(edges, f, "vec_id", "embedding",
+      alpha = 1.0, rounds = 1).select("vid", "pos", "uv"))
+    assert(got((1L, 1L)) == 10000000L) // mean(10, 10)
+    assert(got((1L, 2L)) == 8000000L)  // only v2 carries position 2 — not /2
+    assert(!got.contains((3L, 2L)))    // v3 stays 1-dimensional
+  }
+
   test("matches a driver-side reference over random data for 3 rounds") {
     val edges = GraphGen.uniform(spark, 20, 90, seed = 11).cache()
     val dim = 4
