@@ -478,6 +478,14 @@ object SparkEntry {
         .groupBy("center", "context")
         .agg(count(lit(1)).cast("long").as("pairs"))
     }),
+    "q_neg_sample" -> ((s, dir) => {
+      // word2vec negative sampling over the same walk corpus: 2 noise
+      // vertices per walk position ∝ corpusFreq^0.75 via the exact integer
+      // inverse-CDF (bucketed interval join); the oracle replays the draw
+      // with a plain range join over the identical micro-unit table
+      val walks = graft.alg.RandomWalk.walksFromAll(eMOD(s, dir), length = 8, seed = 42L)
+      graft.alg.RandomWalk.negativeSamples(walks, k = 2, power = 0.75, seed = 7L)
+    }),
 
     // ---- event stream (batch = streaming plan, driver-checkable) ----
     "q_event_windows" -> ((s, dir) =>
@@ -2227,6 +2235,34 @@ object SparkEntry {
     s"""${kmeansCtes(k, iters)}
       SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2 FROM afinal"""
 
+  /** Negative-sampling oracle — replays
+   * [[graft.alg.RandomWalk.negativeSamples]]'s integer inverse-CDF with a
+   * plain range join (bucketing is execution-only on the Spark side):
+   * micro-unit weights from the same pow-then-round expression, a BIGINT
+   * running sum in vid order, and `t = hash48 mod Σw` picked into its
+   * [hi−w, hi) interval. */
+  private def negSampleSql(length: Int, walkSeed: Long, k: Int,
+                           power: Double, drawSeed: Long): String = {
+    val md = s"md5(concat_ws('|', '$drawSeed', CAST(W.walk AS VARCHAR), " +
+      "CAST(W.step AS VARCHAR), CAST(s.g AS VARCHAR)))"
+    val h = (1 to 12).map { j =>
+      s"(strpos('0123456789abcdef', substring($md, $j, 1)) - 1) * ${BigInt(16).pow(12 - j)}"
+    }.mkString("(", " + ", ")")
+    s"""
+      WITH W AS MATERIALIZED (SELECT * FROM (${randomWalkSql(length, walkSeed)})),
+      wt AS MATERIALIZED (
+        SELECT vid, CAST(FLOOR(POWER(CAST(COUNT(*) AS DOUBLE), $power)
+          * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS w
+        FROM W GROUP BY vid),
+      cm AS MATERIALIZED (SELECT vid, w, SUM(w) OVER (ORDER BY vid) AS hi FROM wt),
+      tot AS (SELECT SUM(w) AS t FROM wt),
+      dr AS MATERIALIZED (
+        SELECT W.walk, W.step, CAST(s.g AS INTEGER) AS slot, $h % tot.t AS t
+        FROM W CROSS JOIN generate_series(1, $k) AS s(g) CROSS JOIN tot)
+      SELECT d.walk, d.step, d.slot, c.vid AS neg
+      FROM dr d JOIN cm c ON d.t >= c.hi - c.w AND d.t < c.hi"""
+  }
+
   /** Unrolled feature-smoothing oracle — mirrors
    * [[graft.ann.FeatureProp.exploded]] round for round in integer
    * micro-units: the per-round blend is the ONE identical double
@@ -2897,6 +2933,11 @@ object SparkEntry {
       FROM W a JOIN W b
         ON a.walk = b.walk AND a.step <> b.step AND ABS(a.step - b.step) <= 3
       GROUP BY 1, 2""",
+    // the draw is exact integer arithmetic after the one pow-then-round
+    // weight quantization; the bucketed interval join is execution-only,
+    // so the oracle picks with a plain range join over the same table
+    "q_neg_sample" -> negSampleSql(length = 8, walkSeed = 42L, k = 2,
+      power = 0.75, drawSeed = 7L),
     "q_event_windows" -> """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value

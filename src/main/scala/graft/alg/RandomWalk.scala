@@ -148,6 +148,67 @@ object RandomWalk {
   }
 
   /**
+   * Negative sampling for the skip-gram objective (word2vec's unigram^0.75
+   * noise distribution, Mikolov et al. 2013) — `k` noise vertices per walk
+   * position, drawn ∝ corpusFrequency^power where the corpus is the walk
+   * table itself. Completes the embedding-training data path:
+   * [[walks]] → [[contextPairs]] → negativeSamples.
+   *
+   * Determinism and cross-engine exactness: weights are quantized to
+   * integer micro-units once (`floor(freq^power·1e6 + 0.5)` — the one
+   * float expression, same pow-then-round discipline as temperatureMix),
+   * after which EVERYTHING is exact integer arithmetic: the cumulative
+   * interval table is a BIGINT running sum in vid order
+   * ([[graft.core.Ranking.globalRunningSum]] — range-partitioned, no
+   * global window), the draw is `t = hash48(seed|walk|step|slot) mod Σw`,
+   * and the picked vertex is the one whose [lo, hi) interval contains t.
+   *
+   * Scale shape: the interval lookup is a BUCKETED equi-join, not a range
+   * join — each vocabulary interval explodes into the ⌈w/bucketWidth⌉+1
+   * buckets it overlaps (≤ `buckets` rows even for a vertex holding all
+   * the mass) and each draw probes exactly one bucket; the filter
+   * `lo ≤ t < hi` finishes the pick. Bucketing is an execution detail
+   * only — results are bucket-count-invariant — so the DuckDB oracle uses
+   * a plain range join. Bucket width uses `div` (integer division), never
+   * double division, so the math stays exact past 2^53.
+   */
+  def negativeSamples(walks: DataFrame, k: Int, power: Double = 0.75,
+                      seed: Long = 42L, buckets: Int = 1024): DataFrame = {
+    require(k >= 1 && buckets >= 1)
+    val spark = walks.sparkSession
+    val w = walks.groupBy(col(Graph.VID))
+      .agg(count(lit(1)).as("freq"))
+      .select(col(Graph.VID),
+        floor(pow(col("freq").cast("double"), lit(power)) * 1e6 + 0.5)
+          .cast("long").as("w"))
+    val cum = graft.core.Ranking
+      .globalRunningSum(w, Seq(col(Graph.VID).asc), col("w"), "hi")
+      .withColumn("lo", col("hi") - col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalRow = cum.agg(coalesce(max("hi"), lit(0L))).collect()(0)
+    val total = totalRow.getLong(0)
+    if (total <= 0L) {
+      cum.unpersist(blocking = false)
+      return walks.select(col("walk"), col("step"), lit(1).as("slot"),
+        col(Graph.VID).as("neg")).limit(0)
+    }
+    val bw = (total + buckets - 1) / buckets
+    val index = cum.withColumn("b",
+      explode(sequence(expr(s"lo div $bw"), expr(s"(hi - 1) div $bw"))))
+    val draws = walks.select(col("walk"), col("step"))
+      .withColumn("slot", explode(sequence(lit(1), lit(k))))
+      .withColumn("t", pmod(
+        conv(substring(md5(concat_ws("|", lit(seed), col("walk"), col("step"),
+          col("slot"))), 1, 12), 16, 10).cast("long"), lit(total)))
+      .withColumn("b", expr(s"t div $bw"))
+    val out = draws.hint("shuffle_hash").join(index, "b")
+      .filter(col("lo") <= col("t") && col("t") < col("hi"))
+      .select(col("walk"), col("step"), col("slot"), col(Graph.VID).as("neg"))
+    cum.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * Skip-gram training pairs from a walk corpus — the step that turns
    * [[walks]]/[[biasedWalks]] output into what an embedding trainer
    * (DeepWalk/node2vec, word2vec objective) actually consumes: every

@@ -180,4 +180,58 @@ class RandomWalkSpec extends SparkSpec {
     val walks = Seq((9L, 0, 9L)).toDF("walk", "step", "vid")
     assert(RandomWalk.contextPairs(walks, window = 3).count() == 0L)
   }
+
+  private def negRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+
+  test("negativeSamples: exact driver-side integer inverse-CDF, one neg per draw") {
+    val g = GraphGen.uniform(spark, 15, 80, seed = 5).cache()
+    val walks = RandomWalk.walksFromAll(g, length = 6, seed = 42L).cache()
+    val (k, power, seed) = (3, 0.75, 7L)
+    val got = negRows(RandomWalk.negativeSamples(walks, k, power, seed, buckets = 64))
+
+    val rows = walks.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val freq = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    val wts = freq.toSeq.sortBy(_._1)
+      .map { case (v, f) => v -> math.floor(math.pow(f.toDouble, power) * 1e6 + 0.5).toLong }
+    val his = wts.scanLeft(0L)(_ + _._2).tail
+    val iv = wts.map(_._1).zip(wts.map(_._2)).zip(his)
+      .map { case ((v, w), hi) => (v, hi - w, hi) }
+    val total = his.last
+    val want = (for {
+      (wk, st, _) <- rows; slot <- 1 to k
+      t = (BigInt(md5hex(s"$seed|$wk|$st|$slot").take(12), 16) % total).toLong
+      (v, lo, hi) <- iv if lo <= t && t < hi
+    } yield (wk, st, slot, v)).toSet
+    assert(got == want)
+    // exactly one negative per (walk, step, slot) draw
+    assert(got.size == rows.length * k)
+  }
+
+  test("negativeSamples: bucket count is an execution detail — results identical") {
+    val g = GraphGen.uniform(spark, 12, 50, seed = 9).cache()
+    val walks = RandomWalk.walksFromAll(g, length = 4, seed = 1L).cache()
+    val a = negRows(RandomWalk.negativeSamples(walks, k = 2, seed = 3L, buckets = 5))
+    val b = negRows(RandomWalk.negativeSamples(walks, k = 2, seed = 3L, buckets = 1024))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("negativeSamples: draws skew toward high-frequency vertices, seed varies them") {
+    // star: every walk from a spoke visits the hub, so the hub dominates
+    // the unigram table and must dominate the noise draws
+    val hub = ((1 to 10).map(i => (i.toLong, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val walks = RandomWalk.walksFromAll(hub, length = 3, seed = 2L).cache()
+    val negs = RandomWalk.negativeSamples(walks, k = 4, seed = 11L).collect()
+      .map(_.getLong(3))
+    val hubShare = negs.count(v => v == 0L || v == 1L).toDouble / negs.length
+    assert(hubShare > 0.5, s"hubShare=$hubShare")
+    val other = negRows(RandomWalk.negativeSamples(walks, k = 4, seed = 12L))
+    assert(other != negRows(RandomWalk.negativeSamples(walks, k = 4, seed = 11L)))
+  }
+
+  test("negativeSamples: empty walk table yields an empty frame") {
+    val empty = Seq.empty[(Long, Int, Long)].toDF("walk", "step", "vid")
+    assert(RandomWalk.negativeSamples(empty, k = 2).count() == 0L)
+  }
 }
