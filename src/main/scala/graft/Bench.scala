@@ -78,10 +78,10 @@ object Bench {
   // by construction and vertex cover is q_matching plus one projection.
   private val Headline = Seq(
     "q_pagerank", "q_ppr", "q_hits", "q_salsa", "q_katz", "q_wcc", "q_scc",
-    "q_triangles", "q_link_predict", "q_ktruss",
+    "q_triangles", "q_triad_census", "q_link_predict", "q_ktruss",
     "q_label_prop_pruned_full", "q_bfs",
     "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk", "q_walk_pairs",
-    "q_neg_sample",
+    "q_neg_sample", "q_khop_sample",
     "q_mis", "q_matching", "q_msf",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_embed_smooth", "q_token_stats", "q_lang_id", "q_quality",

@@ -226,6 +226,10 @@ object SparkEntry {
     }),
     "q_triangles" -> ((s, dir) =>
       graft.alg.TriangleCount.perVertex(eMOD(s, dir))),
+    "q_triad_census" -> ((s, dir) =>
+      // directed motif profile: the 7 closed Holland–Leinhardt triad
+      // classes (feed-forward vs cyclic closure, reciprocity structure)
+      graft.alg.TriangleCount.directedCensus(eMOD(s, dir))),
     "q_clustering_coeff" -> ((s, dir) =>
       graft.alg.TriangleCount.clusteringCoefficient(eMOD(s, dir))
         .select(col("vid"), round(col("coefficient"), 6).as("coefficient"))),
@@ -651,6 +655,15 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(documents(s, dir), "doc_id", "text", k = 5)
         .select(col("doc_id"), col("term"), col("tfidf"),
           col("rnk").cast("long").as("rnk"))),
+    "q_pca_cov" -> ((s, dir) =>
+      // PCA step 1 at scale: upper-triangle covariance of the embedding
+      // corpus from exact micro-unit BIGINT moment sums — one pass,
+      // shuffle O(partitions·d²); the d×d eigen step is driver-side
+      graft.ann.Pca.covariance(embeddings(s, dir))),
+    "q_quantize" -> ((s, dir) =>
+      // int8 scalar quantization: per-dim min/max codebook (broadcast) +
+      // one narrow affine-code pass — the 4× index-compression step
+      graft.ann.Quantize.codes(embeddings(s, dir))),
 
     // ---- corpus curation ----
     "q_domain_cap" -> ((s, dir) =>
@@ -666,6 +679,12 @@ object SparkEntry {
       // — can never straddle the split
       graft.text.Curation.groupSplit(documents(s, dir), col("source"), 0.25)
         .select(col("doc_id"), col("source"), col("split"))),
+    "q_chunk" -> ((s, dir) =>
+      // context-window chunking: 64-token windows every 48 tokens (16-token
+      // overlap) — sequence+explode fan-out, no shuffle
+      graft.text.Curation.chunkWindows(
+        documents(s, dir), col("doc_id"), col("text"), window = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start_tok"), col("len"))),
     "q_pack" -> ((s, dir) =>
       // sequence packing: whitespace-token counts folded contiguous-greedy
       // into ≤512-token training sequences within 8 deterministic hash
@@ -818,6 +837,15 @@ object SparkEntry {
     "q_sample_vertices" -> ((s, dir) =>
       // induced node sample: an edge survives iff BOTH endpoint hashes pass
       graft.core.Graph.sampleVerticesInduced(eMOD(s, dir), 0.5)),
+    "q_khop_sample" -> ((s, dir) => {
+      // GNN minibatch sampler: 2-hop sampled neighborhood blocks (fanouts
+      // 3 then 2) from the seed set vid < 50 — per hop one frontier
+      // semi-join + the salted deterministic top-k
+      val e = eMOD(s, dir)
+      graft.core.Graph.sampleKHop(e,
+        graft.core.Graph.vertices(e).filter(col("vid") < 50),
+        fanouts = Seq(3, 2))
+    }),
     "q_stratified_sample" -> ((s, dir) =>
       // training-mix re-weighting: keep-all src0, half src1, quarter src2,
       // 10% everything else — deterministic hash thresholds per stratum
@@ -1430,6 +1458,42 @@ object SparkEntry {
       SELECT x AS vid FROM tri UNION ALL SELECT y AS vid FROM tri UNION ALL SELECT z AS vid FROM tri
     ) GROUP BY vid)
     SELECT verts.vid, COALESCE(per.c, 0) AS tri_count FROM verts LEFT JOIN per ON verts.vid = per.vid"""
+
+  /** Directed triad census oracle — same dyad-code + sorted-triple
+   * classification as [[graft.alg.TriangleCount.directedCensus]]
+   * (convention in its scaladoc). */
+  private def triadCensusSql: String = s"""
+    WITH e AS ($SqlEMOD),
+    dy AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS p, GREATEST(src, dst) AS q,
+        BIT_OR(CASE WHEN src < dst THEN 1 ELSE 2 END) AS code
+      FROM e GROUP BY 1, 2),
+    tri AS (
+      SELECT t1.p AS x, t1.q AS y, t2.q AS z
+      FROM dy t1 JOIN dy t2 ON t1.q = t2.p JOIN dy t3 ON t3.p = t1.p AND t3.q = t2.q),
+    coded AS (
+      SELECT a.code AS cxy, b.code AS cxz, c.code AS cyz
+      FROM tri JOIN dy a ON a.p = tri.x AND a.q = tri.y
+               JOIN dy b ON b.p = tri.x AND b.q = tri.z
+               JOIN dy c ON c.p = tri.y AND c.q = tri.z),
+    typed AS (
+      SELECT CASE
+        WHEN (cxy = 3)::INT + (cxz = 3)::INT + (cyz = 3)::INT = 3 THEN '300'
+        WHEN (cxy = 3)::INT + (cxz = 3)::INT + (cyz = 3)::INT = 2 THEN '210'
+        WHEN (cxy = 3)::INT + (cxz = 3)::INT + (cyz = 3)::INT = 1 THEN
+          CASE (CASE WHEN cxy = 3 THEN (cxz = 2)::INT + (cyz = 2)::INT
+                     WHEN cxz = 3 THEN (cxy = 2)::INT + (cyz = 1)::INT
+                     ELSE (cxy = 1)::INT + (cxz = 1)::INT END)
+            WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END
+        WHEN (cxy = 1 AND cxz = 2 AND cyz = 1) OR (cxy = 2 AND cxz = 1 AND cyz = 2)
+          THEN '030C'
+        ELSE '030T' END AS triad_type
+      FROM coded),
+    counts AS (SELECT triad_type, COUNT(*) AS n FROM typed GROUP BY 1)
+    SELECT t.triad_type, COALESCE(counts.n, 0) AS n
+    FROM (VALUES ('030T'), ('030C'), ('120D'), ('120U'), ('120C'), ('210'), ('300'))
+      AS t(triad_type)
+    LEFT JOIN counts ON t.triad_type = counts.triad_type"""
 
   private def clusteringSql: String = s"""
     WITH e AS ($SqlEMOD),
@@ -2235,6 +2299,31 @@ object SparkEntry {
     s"""${kmeansCtes(k, iters)}
       SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2 FROM afinal"""
 
+  /** k-hop minibatch-sampler oracle — unrolls
+   * [[graft.core.Graph.sampleKHop]] hop by hop: each hop is the
+   * q_neighbor_sample window rank restricted to the previous hop's
+   * frontier. */
+  private def khopSql(fanouts: Seq[Int], seedMax: Long): String = {
+    val rank = "row_number() OVER (PARTITION BY src " +
+      "ORDER BY md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)) ASC, " +
+      "CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR) ASC)"
+    val init = s"""
+      WITH e AS MATERIALIZED ($SqlEMOD),
+      f0 AS (SELECT DISTINCT vid FROM
+        (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) WHERE vid < $seedMax)"""
+    val hops = fanouts.zipWithIndex.map { case (k, i) =>
+      s"""
+      , r${i + 1} AS MATERIALIZED (
+          SELECT src, dst, $rank AS rn FROM e
+          WHERE src IN (SELECT vid FROM f$i))
+      , h${i + 1} AS (SELECT ${i + 1} AS hop, src, dst FROM r${i + 1} WHERE rn <= $k)
+      , f${i + 1} AS (SELECT DISTINCT dst AS vid FROM h${i + 1})"""
+    }.mkString
+    val union = fanouts.indices
+      .map(i => s"SELECT hop, src, dst FROM h${i + 1}").mkString(" UNION ALL ")
+    init + hops + s"\n      $union"
+  }
+
   /** Negative-sampling oracle — replays
    * [[graft.alg.RandomWalk.negativeSamples]]'s integer inverse-CDF with a
    * plain range join (bucketing is execution-only on the Spark side):
@@ -2548,6 +2637,7 @@ object SparkEntry {
     "q_semdedup" -> semDedupSql(k = 4, iters = 3, threshold = 0.3),
     "q_embed_smooth" -> embedSmoothSql(rounds = 2, alpha = 0.5),
     "q_triangles" -> trianglesSql,
+    "q_triad_census" -> triadCensusSql,
     "q_clustering_coeff" -> clusteringSql,
     "q_bfs" -> bfsSql,
     "q_sssp" -> ssspSql,
@@ -2602,6 +2692,39 @@ object SparkEntry {
         CASE WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT) < 1073741824
              THEN 'holdout' ELSE 'train' END AS split
       FROM documents""",
+    "q_pca_cov" -> """
+      WITH p AS (SELECT vec_id, embedding AS e FROM embeddings),
+      el AS MATERIALIZED (
+        SELECT vec_id, CAST(generate_subscripts(e, 1) AS BIGINT) - 1 AS i,
+          CAST(FLOOR(CAST(unnest(e) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS u
+        FROM p),
+      m1 AS (SELECT i, SUM(u) AS s, COUNT(*) AS n FROM el GROUP BY i),
+      m2 AS (SELECT a.i AS i, b.i AS j, SUM(a.u * b.u) AS sxy
+             FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+             GROUP BY 1, 2)
+      SELECT m2.i, m2.j,
+        ROUND((CAST(sxy AS DOUBLE) / CAST(si.n AS DOUBLE)
+          - (CAST(si.s AS DOUBLE) / CAST(si.n AS DOUBLE))
+            * (CAST(sj.s AS DOUBLE) / CAST(si.n AS DOUBLE))) / 1e12, 6) AS cov
+      FROM m2 JOIN m1 si ON m2.i = si.i JOIN m1 sj ON m2.j = sj.i""",
+    "q_quantize" -> """
+      WITH p AS (SELECT vec_id, embedding AS e FROM embeddings),
+      el AS MATERIALIZED (
+        SELECT vec_id, CAST(generate_subscripts(e, 1) AS BIGINT) - 1 AS i,
+          CAST(unnest(e) AS DOUBLE) AS x
+        FROM p),
+      mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY i)
+      SELECT vec_id, el.i,
+        CAST(CASE WHEN mx = mn THEN 0
+          ELSE FLOOR((x - mn) / (mx - mn) * 255.0 + 0.5) END AS BIGINT) AS q
+      FROM el JOIN mm ON el.i = mm.i""",
+    "q_chunk" -> s"""
+      WITH t AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$TOK')) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, start_tok // 48 AS chunk_id, start_tok,
+        LEAST(64, n - start_tok) AS len
+      FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1, 48)) AS start_tok
+            FROM t WHERE n > 0)""",
     "q_pack" -> s"""
       WITH RECURSIVE d AS MATERIALIZED (
         SELECT doc_id AS id,
@@ -2938,6 +3061,7 @@ object SparkEntry {
     // so the oracle picks with a plain range join over the same table
     "q_neg_sample" -> negSampleSql(length = 8, walkSeed = 42L, k = 2,
       power = 0.75, drawSeed = 7L),
+    "q_khop_sample" -> khopSql(fanouts = Seq(3, 2), seedMax = 50L),
     "q_event_windows" -> """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value

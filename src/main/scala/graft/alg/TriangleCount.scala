@@ -101,6 +101,71 @@ object TriangleCount {
     tri
   }
 
+  /** Directed triad census over the CLOSED triads — the 7
+   * Holland–Leinhardt classes where all three dyads are connected:
+   * `030T` (transitive), `030C` (3-cycle), `120D`/`120U`/`120C` (one
+   * mutual dyad, two asymmetric arcs), `210` (two mutual), `300` (all
+   * mutual). The classic web/social-graph motif profile: feed-forward vs
+   * cyclic closure and reciprocity structure (the reference counts only
+   * undirected triangles, `totem_clustering.cu:368-431` — this extends
+   * the same enumeration with direction classes).
+   *
+   * Naming convention for the one-mutual classes (documented because the
+   * literature draws them in both orientations): let z be the vertex
+   * OUTSIDE the mutual dyad — `120D` = z sends to both endpoints ("down"
+   * into the dyad), `120U` = z receives from both, `120C` = one each (a
+   * path through the dyad).
+   *
+   * Plan shape: one dyad-code aggregation (`bit_or` of direction bits —
+   * map-side combinable), the degree-oriented wedge join of [[triangles]]
+   * (fan-out bounded by min(deg, sqrt 2E) under skew), then three
+   * pair-keyed hash joins against the dyad table and one 7-group
+   * aggregate. No window, no cartesian; all 7 rows always present.
+   */
+  def directedCensus(edges: DataFrame): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    val directed = edges.select(col(Graph.SRC), col(Graph.DST))
+      .filter(col(Graph.SRC) =!= col(Graph.DST)).distinct()
+    // dyad code per unordered pair p<q: 1 = p→q only, 2 = q→p only, 3 = mutual
+    val dyads = directed.select(
+        least(col(Graph.SRC), col(Graph.DST)).as("p"),
+        greatest(col(Graph.SRC), col(Graph.DST)).as("q"),
+        when(col(Graph.SRC) < col(Graph.DST), lit(1)).otherwise(lit(2)).as("m"))
+      .groupBy("p", "q").agg(bit_or(col("m")).as("code"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // triangles of the underlying undirected simple graph, triple sorted x<y<z
+    val tri = triangles(dyads.select(col("p").as("a"), col("q").as("b")))
+      .select(least(col("a"), col("b"), col("c")).as("x"),
+        (col("a") + col("b") + col("c")
+          - least(col("a"), col("b"), col("c"))
+          - greatest(col("a"), col("b"), col("c"))).as("y"),
+        greatest(col("a"), col("b"), col("c")).as("z"))
+    val coded = tri
+      .join(dyads.select(col("p").as("x"), col("q").as("y"), col("code").as("cxy")), Seq("x", "y"))
+      .join(dyads.select(col("p").as("x"), col("q").as("z"), col("code").as("cxz")), Seq("x", "z"))
+      .join(dyads.select(col("p").as("y"), col("q").as("z"), col("code").as("cyz")), Seq("y", "z"))
+    val mutuals = (col("cxy") === 3).cast("int") + (col("cxz") === 3).cast("int") +
+      (col("cyz") === 3).cast("int")
+    // 3-cycle: x→y→z→x is codes (1,2,1) in (cxy,cxz,cyz); x→z→y→x is (2,1,2)
+    val cyc030 = (col("cxy") === 1 && col("cxz") === 2 && col("cyz") === 1) ||
+      (col("cxy") === 2 && col("cxz") === 1 && col("cyz") === 2)
+    // one-mutual classes: out-arrow count of the vertex outside the mutual dyad
+    val thirdOut =
+      when(col("cxy") === 3, (col("cxz") === 2).cast("int") + (col("cyz") === 2).cast("int"))
+        .when(col("cxz") === 3, (col("cxy") === 2).cast("int") + (col("cyz") === 1).cast("int"))
+        .otherwise((col("cxy") === 1).cast("int") + (col("cxz") === 1).cast("int"))
+    val typ = when(mutuals === 3, "300")
+      .when(mutuals === 2, "210")
+      .when(mutuals === 1,
+        when(thirdOut === 2, "120D").when(thirdOut === 0, "120U").otherwise("120C"))
+      .otherwise(when(cyc030, "030C").otherwise("030T"))
+    val counts = coded.groupBy(typ.as("triad_type")).agg(count(lit(1)).as("n"))
+    Seq("030T", "030C", "120D", "120U", "120C", "210", "300").toDF("triad_type")
+      .join(counts, Seq("triad_type"), "left")
+      .select(col("triad_type"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Local clustering coefficient per vertex —
    * CC(v) = 2·T(v)/(d(d-1)), 0 if d<2 (`totem_clustering.cu:368-431`). */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {

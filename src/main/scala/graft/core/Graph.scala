@@ -217,6 +217,37 @@ object Graph {
       .filter(col("__r2") <= k).drop("__r2")
   }
 
+  /**
+   * Multi-hop sampled neighborhood extraction — the GraphSAGE/GNN
+   * MINIBATCH sampler: starting from `seeds`, take `fanouts(0)` sampled
+   * out-neighbors per seed (hop 1), then `fanouts(1)` per hop-1 vertex,
+   * and so on. Returns the sampled message-flow blocks `(hop, src, dst)` —
+   * exactly what a layer-wise GNN aggregation consumes.
+   *
+   * Deterministic: [[sampleNeighbors]]' per-edge md5 rank decides each
+   * hop's pick, and because that rank is a pure function of (src, dst),
+   * restricting the edge set to the current frontier BEFORE sampling picks
+   * the same neighbors as sampling the whole graph — so each hop costs one
+   * frontier semi-join plus the salted top-k, never a full-graph pass.
+   * Frontiers are all sampled dsts (revisits allowed, as in the standard
+   * sampler); dedup happens per hop via the frontier `distinct`.
+   */
+  def sampleKHop(edges: DataFrame, seeds: DataFrame, fanouts: Seq[Int],
+                 salts: Int = 64): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ > 0),
+      s"fanouts must be non-empty positive, got $fanouts")
+    var frontier = seeds.select(col(VID)).distinct()
+    val blocks = Seq.newBuilder[DataFrame]
+    for ((k, i) <- fanouts.zipWithIndex) {
+      val fe = edges.join(frontier.withColumnRenamed(VID, SRC), Seq(SRC), "left_semi")
+      val samp = sampleNeighbors(fe, k, salts)
+        .select(lit(i + 1).as("hop"), col(SRC), col(DST))
+      blocks += samp
+      frontier = samp.select(col(DST).as(VID)).distinct()
+    }
+    blocks.result().reduce(_.unionByName(_))
+  }
+
   /** Deterministic vertex relabeling (random-looking but seeded) —
    * `permute_edgelist` (`totem_generator.cc:143-159`). New ids are dense
    * 0..V-1 assigned by hash order, via the distributed range-partitioned

@@ -306,6 +306,31 @@ object Curation {
       .toDF("id", "bucket", "bin")
   }
 
+  /**
+   * Sliding-window chunking of long documents — the context-window prep
+   * step between cleaning and packing: a document of n tokens becomes
+   * windows of `window` tokens starting every `stride` tokens (overlap =
+   * window − stride), the last window clipped to the document end. Emits
+   * (id, chunk_id, start_tok, len); empty documents produce no chunks.
+   *
+   * One narrow pass: token count via [[TextAnalysis.tokenCount]], then a
+   * `sequence`+`explode` fan-out of O(n/stride) rows per document — no
+   * join, no shuffle, codegen throughout.
+   */
+  def chunkWindows(df: DataFrame, id: Column, text: Column,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(id.as("id"), TextAnalysis.tokenCount(text).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("id"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong))).as("start_tok"))
+      .select(col("id"),
+        (col("start_tok") / lit(stride.toLong)).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(window.toLong), col("n") - col("start_tok")).as("len"))
+  }
+
   /** Per-sequence utilization of a [[packSequences]] assignment joined back
    * to the token counts: (bucket, bin, n_docs, seq_tokens, fill). */
   def packedBinStats(packed: DataFrame, tokens: DataFrame,

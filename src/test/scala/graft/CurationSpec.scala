@@ -192,4 +192,30 @@ class CurationSpec extends SparkSpec {
     val kept = Curation.temperatureMix(withNull, col("lang"), col("id"), tau = 0.5)
     assert(kept.filter(col("lang").isNull).count() == 10L)
   }
+
+  test("chunkWindows: overlap windows, clipped tail, empty docs dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only one"),                               // 2 tokens
+      (3L, "   "),                                    // 0 tokens
+      (4L, "")).toDF("doc_id", "text")
+    val got = Curation.chunkWindows(docs, col("doc_id"), col("text"),
+        window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+      (2L, 0L, 0L, 2L)))
+  }
+
+  test("chunkWindows: stride == window partitions exactly; coverage is total") {
+    val docs = Seq((1L, (1 to 9).map(_.toString).mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.chunkWindows(docs, col("doc_id"), col("text"),
+        window = 4, stride = 4).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 4L), (4L, 4L), (8L, 1L)))
+    assert(got.map(_._2).sum == 9L) // no gap, no overlap
+    intercept[IllegalArgumentException] {
+      Curation.chunkWindows(docs, col("doc_id"), col("text"), window = 2, stride = 3)
+    }
+  }
 }

@@ -251,6 +251,50 @@ class GraphOpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("sampleKHop: unrolled driver-side reference, hop structure, chain degeneracy") {
+    val e = (0L until 600L).map(i => (i % 23, (i * 7 + 3) % 101)).toDF("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val seeds = Seq(0L, 1L, 2L).toDF("vid")
+    val fanouts = Seq(3, 2)
+    val got = Graph.sampleKHop(e, seeds, fanouts).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+    // driver-side unroll: per hop, rank the frontier's edges by the same
+    // md5 key and keep fanout; next frontier = all sampled dsts
+    val adj: Map[Long, Seq[Long]] = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var frontier = Set(0L, 1L, 2L)
+    val want = scala.collection.mutable.Set[(Int, Long, Long)]()
+    for ((k, i) <- fanouts.zipWithIndex) {
+      val picked = frontier.toSeq.flatMap { v =>
+        adj.getOrElse(v, Seq.empty)
+          .sortBy(d => (md5hex(s"${v}_$d"), s"${v}_$d"))
+          .take(k).map(d => (i + 1, v, d))
+      }
+      want ++= picked
+      frontier = picked.map(_._3).toSet
+    }
+    assert(got == want.toSet)
+    // hop-1 sources are exactly the seeds that have out-edges
+    assert(got.filter(_._1 == 1).map(_._2) == seedsWithOutEdges(adj, Set(0L, 1L, 2L)))
+    e.unpersist()
+  }
+
+  private def seedsWithOutEdges(adj: Map[Long, Seq[Long]], seeds: Set[Long]): Set[Long] =
+    seeds.filter(v => adj.get(v).exists(_.nonEmpty))
+
+  test("sampleKHop: a sink seed produces no blocks; fanout covers a chain fully") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val fromSink = Graph.sampleKHop(chain, Seq(3L).toDF("vid"), Seq(2, 2))
+    assert(fromSink.count() == 0L)
+    val full = Graph.sampleKHop(chain, Seq(0L).toDF("vid"), Seq(1, 1)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == Set((1, 0L, 1L), (2, 1L, 2L)))
+  }
+
   test("contract: quotient graph aggregates collapsed edge multiplicity") {
     val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
     val m = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("vid", "part")
