@@ -505,6 +505,26 @@ object SparkEntry {
           round(col("total_value"), 6).as("total_value"))
     }),
 
+    "q_interval_join" -> ((s, dir) => {
+      // click attribution: every click pairs with ALL of the same user's
+      // views in the preceding 30 minutes — the stream-stream interval
+      // join run on batch frames (key hash join + range predicate; the
+      // identical expression bounds state when both sides are streams)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+      graft.streaming.EventStream.intervalJoin(clicks, views, "user_id",
+          "click_ts", "view_ts", lookback = "30 minutes")
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          // testdata timestamps read as TIMESTAMP_NTZ; the cast pins a tz
+          // interpretation but the DIFFERENCE is tz-independent
+          (unix_micros(col("click_ts").cast("timestamp"))
+            - unix_micros(col("view_ts").cast("timestamp"))).as("gap_us"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // enrich every non-purchase event with the user's most recent
       // purchase value at that instant — window-strategy as-of join (one
@@ -3067,6 +3087,12 @@ object SparkEntry {
         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
       FROM events GROUP BY 1, 2""",
     "q_sessionize" -> sessionizeSql,
+    "q_interval_join" -> """
+      SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      FROM events c JOIN events v ON c.user_id = v.user_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+        AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE""",
     "q_asof_join" -> """
       WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'),
       r AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase')

@@ -39,16 +39,21 @@ object Pca {
       transform(col(vec), v => floor(v.cast("double") * lit(1e6) + lit(0.5))
         .cast("long")).as("u"))
     val el = u.select(col("u"), posexplode(col("u")).as(Seq("i", "ui")))
-    // first moments + n (d groups; count identical per group = n)
-    val m1 = el.groupBy("i").agg(sum(col("ui")).as("s"), count(lit(1)).as("n"))
-    // second moments over the upper triangle (d(d+1)/2 groups; the
-    // map-side partial agg collapses each partition before the exchange)
-    val m2 = el.select(col("i"), col("ui"), posexplode(col("u")).as(Seq("j", "uj")))
+    // ONE corpus pass: first moments ride the diagonal groups of the pair
+    // aggregate (sum(ui) where i=j, count = per-dim n), so the moment table
+    // never re-reads the input; d(d+1)/2 groups, map-side combined
+    val m = el.select(col("i"), col("ui"), posexplode(col("u")).as(Seq("j", "uj")))
       .filter(col("j") >= col("i"))
-      .groupBy("i", "j").agg(sum(col("ui") * col("uj")).as("sxy"))
+      .groupBy("i", "j").agg(
+        sum(col("ui") * col("uj")).as("sxy"),
+        sum(when(col("i") === col("j"), col("ui"))).as("sdiag"),
+        count(lit(1)).as("cnt"))
+      .persist()
+    val m1 = m.filter(col("i") === col("j"))
+      .select(col("i").as("k"), col("sdiag").as("s"), col("cnt").as("n"))
     val n = col("n").cast("double")
-    m2.join(broadcast(m1.select(col("i"), col("s").as("si"), col("n"))), Seq("i"))
-      .join(broadcast(m1.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+    m.join(broadcast(m1.select(col("k").as("i"), col("s").as("si"), col("n"))), Seq("i"))
+      .join(broadcast(m1.select(col("k").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         round((col("sxy").cast("double") / n
           - (col("si").cast("double") / n) * (col("sj").cast("double") / n))

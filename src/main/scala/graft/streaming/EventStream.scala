@@ -155,6 +155,33 @@ object EventStream {
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else events.dropDuplicates(keys)
 
+  /**
+   * Stream-stream interval join — the click-attribution primitive: every
+   * left row pairs with ALL right rows of the same `key` whose timestamp
+   * falls within `[leftTs − lookback, leftTs]` (both bounds inclusive).
+   * `leftTs`/`rightTs` must be DISTINCT column names (the condition
+   * references both sides).
+   *
+   * On streaming inputs both sides are watermarked and the range predicate
+   * is part of the join condition, which is exactly what lets Spark BOUND
+   * the join state: right-side rows are evicted once the left watermark
+   * passes `rightTs + lookback`, so a 100 TB/day stream holds one
+   * lookback-window of state per key, never the full history. On batch
+   * frames the same expression is a key-partitioned hash join with the
+   * range as a post-join predicate — never a cartesian.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, lookback: String,
+                   watermark: String = "2 hours"): DataFrame = {
+    require(leftTs != rightTs, s"leftTs and rightTs must differ, got $leftTs")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r, l(key) === r(key) &&
+        col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback"))
+      .drop(r(key))
+  }
+
   /** File-based streaming source over a directory of parquet event files —
    * the readStream entry (micro-batch). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -372,6 +372,38 @@ object Explain {
     graft.ann.FeatureProp.round(undE, stE, alpha = 0.5)
       .explain("formatted")
 
+    println("==== k-hop GNN sampler hop: frontier semi-join + salted top-k ====")
+    graft.core.Graph.sampleKHop(edges,
+        Graph.vertices(edges).limit(64), fanouts = Seq(3, 2))
+      .groupBy("hop").count()
+      .explain("formatted")
+
+    println("==== triad census: dyad bit_or agg + wedge join + 3 pair joins + 7-group agg ====")
+    graft.alg.TriangleCount.directedCensus(edges.filter(col("src") < 2000))
+      .explain("formatted")
+
+    println("==== PCA covariance: posexplode^2 -> d(d+1)/2-group BIGINT agg + 2 broadcast joins ====")
+    graft.ann.Pca.covariance(embE).explain("formatted")
+
+    println("==== int8 quantize: d-row codebook broadcast + narrow affine pass ====")
+    graft.ann.Quantize.codes(embE).explain("formatted")
+
+    println("==== chunk windows: sequence+explode fan-out, zero exchanges ====")
+    graft.text.Curation.chunkWindows(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        col("doc_id"), col("text"), window = 64, stride = 48)
+      .explain("formatted")
+
+    println("==== interval join (batch form): key hash join + range predicate, no cartesian ====")
+    val evE = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    graft.streaming.EventStream.intervalJoin(
+        evE.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id")),
+        evE.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts").as("view_ts"), col("user_id")),
+        "user_id", "click_ts", "view_ts", lookback = "30 minutes")
+      .explain("formatted")
+
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("lang") === "en")

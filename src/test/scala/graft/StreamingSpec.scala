@@ -115,4 +115,52 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(1), 1L, "c", 2.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(EventStream.dedupWithinWatermark(batch, Seq("event_id")).count() == 2)
   }
+
+  private def attributionPairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("interval join on batch frames: all matches in the lookback, bounds inclusive") {
+    val clicks = Seq((100L, ts(10), 1L), (101L, ts(40), 1L), (102L, ts(10), 2L))
+      .toDF("click_id", "click_ts", "user_id")
+    val views = Seq((1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(35), 1L),
+      (4L, ts(11), 1L), (5L, ts(9), 2L), (6L, ts(5), 3L))
+      .toDF("view_id", "view_ts", "user_id")
+    val got = attributionPairs(EventStream.intervalJoin(
+      clicks, views, "user_id", "click_ts", "view_ts", lookback = "10 minutes"))
+    // click@10/u1: views at 0 (= ts-10, inclusive) and 10 (= ts, inclusive);
+    // click@40/u1: view at 35 only (11 is outside); click@10/u2: view at 9
+    assert(got == Set((100L, 1L), (100L, 2L), (101L, 3L), (102L, 5L)))
+  }
+
+  test("interval join as two real streams: bounded state, out-of-order across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[(Long, Timestamp, Long)]
+    val memV = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStream.intervalJoin(
+      memC.toDF().toDF("click_id", "click_ts", "user_id"),
+      memV.toDF().toDF("view_id", "view_ts", "user_id"),
+      "user_id", "click_ts", "view_ts",
+      lookback = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // views arrive BEFORE and AFTER their click, split across batches
+      memV.addData((1L, ts(0), 1L), (2L, ts(8), 1L))
+      q.processAllAvailable()
+      memC.addData((100L, ts(10), 1L))
+      q.processAllAvailable()
+      memV.addData((3L, ts(9), 1L)) // late view, still inside watermark
+      q.processAllAvailable()
+      val got = attributionPairs(spark.table("attrib"))
+      assert(got == Set((100L, 1L), (100L, 2L), (100L, 3L)))
+    } finally q.stop()
+    // streaming result == batch result on the same data
+    val batch = attributionPairs(EventStream.intervalJoin(
+      Seq((100L, ts(10), 1L)).toDF("click_id", "click_ts", "user_id"),
+      Seq((1L, ts(0), 1L), (2L, ts(8), 1L), (3L, ts(9), 1L))
+        .toDF("view_id", "view_ts", "user_id"),
+      "user_id", "click_ts", "view_ts", lookback = "10 minutes"))
+    assert(batch == Set((100L, 1L), (100L, 2L), (100L, 3L)))
+  }
 }
