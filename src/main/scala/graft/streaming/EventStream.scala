@@ -174,12 +174,17 @@ object EventStream {
                    leftTs: String, rightTs: String, lookback: String,
                    watermark: String = "2 hours"): DataFrame = {
     require(leftTs != rightTs, s"leftTs and rightTs must differ, got $leftTs")
-    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
-    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
-    l.join(r, l(key) === r(key) &&
+    // explicit aliases: the two sides often share lineage (self-joins of
+    // one event table), where bare df(key) references collapse to a
+    // trivially-true predicate the analyzer must rescue — qualify instead
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark)
+             else left).alias("__ij_l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark)
+             else right).alias("__ij_r")
+    l.join(r, col(s"__ij_l.$key") === col(s"__ij_r.$key") &&
         col(rightTs) <= col(leftTs) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback"))
-      .drop(r(key))
+      .drop(col(s"__ij_r.$key"))
   }
 
   /** File-based streaming source over a directory of parquet event files —
