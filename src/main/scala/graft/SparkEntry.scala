@@ -684,6 +684,10 @@ object SparkEntry {
       // int8 scalar quantization: per-dim min/max codebook (broadcast) +
       // one narrow affine-code pass — the 4× index-compression step
       graft.ann.Quantize.codes(embeddings(s, dir))),
+    "q_pq" -> ((s, dir) =>
+      // product quantization: 4 independent deterministic k-means runs
+      // over 16-dim slices — per-subspace centroid codes, the PQ index
+      graft.ann.Pq.codes(embeddings(s, dir), m = 4, k = 8, iters = 2)),
 
     // ---- corpus curation ----
     "q_domain_cap" -> ((s, dir) =>
@@ -2282,7 +2286,13 @@ object SparkEntry {
    * a final assignment `afinal` vs c_iters — the exact float path of
    * [[graft.ann.KMeans.run]] (dist2 rounded @9, cid tiebreak, centroids
    * rounded @6, emptied clusters keep their previous center). */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** k-means oracle CTE stack. `pre` prefixes every CTE name and `srcList`
+   * is the DuckDB list expression clustered over — the defaults reproduce
+   * the plain q_kmeans stack; [[pqSql]] instantiates one prefixed stack per
+   * PQ subspace over an `embedding[a:b]` slice. */
+  private def kmeansCtes(k: Int, iters: Int, pre: String = "",
+                         srcList: String = "embedding"): String = {
+    def N(n: String) = pre + n
     def d2(p: String, c: String) =
       s"ROUND(list_dot_product($p.e, $p.e) - 2*list_dot_product($p.e, $c.ctr) + " +
         s"list_dot_product($c.ctr, $c.ctr), 9)"
@@ -2292,27 +2302,43 @@ object SparkEntry {
           SELECT p.vec_id, c.cid, ${d2("p", "c")} AS dist2,
             ROW_NUMBER() OVER (PARTITION BY p.vec_id
                                ORDER BY ${d2("p", "c")}, c.cid) AS rn
-          FROM p CROSS JOIN $from c) t WHERE rn = 1)"""
+          FROM ${N("p")} p CROSS JOIN $from c) t WHERE rn = 1)"""
     def update(i: Int) = s"""
-      m$i AS (
+      ${N(s"m$i")} AS (
         SELECT a.cid, x.pos, ROUND(AVG(x.val), 6) AS v
-        FROM a$i a JOIN x USING (vec_id) GROUP BY a.cid, x.pos),
-      c$i AS MATERIALIZED (
-        SELECT c.cid, COALESCE(n.ctr, c.ctr) AS ctr FROM c${i - 1} c
+        FROM ${N(s"a$i")} a JOIN ${N("x")} x USING (vec_id) GROUP BY a.cid, x.pos),
+      ${N(s"c$i")} AS MATERIALIZED (
+        SELECT c.cid, COALESCE(n.ctr, c.ctr) AS ctr FROM ${N(s"c${i - 1}")} c
         LEFT JOIN (SELECT cid, list(v ORDER BY pos) AS ctr
-                   FROM m$i GROUP BY cid) n USING (cid))"""
+                   FROM ${N(s"m$i")} GROUP BY cid) n USING (cid))"""
     val rounds = (1 to iters)
-      .map(i => assign(s"a$i", s"c${i - 1}") + "," + update(i)).mkString(",")
+      .map(i => assign(N(s"a$i"), N(s"c${i - 1}")) + "," + update(i)).mkString(",")
     s"""
-      WITH p AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      x AS MATERIALIZED (
-        SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM p),
-      c0 AS MATERIALIZED (
+      WITH ${N("p")} AS MATERIALIZED (
+        SELECT vec_id, CAST($srcList AS DOUBLE[]) AS e FROM embeddings),
+      ${N("x")} AS MATERIALIZED (
+        SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM ${N("p")}),
+      ${N("c0")} AS MATERIALIZED (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ctr
-        FROM (SELECT vec_id, e FROM p ORDER BY vec_id LIMIT $k)),
+        FROM (SELECT vec_id, e FROM ${N("p")} ORDER BY vec_id LIMIT $k)),
       $rounds,
-      ${assign("afinal", s"c$iters")}"""
+      ${assign(N("afinal"), N(s"c$iters"))}"""
+  }
+
+  /** Product-quantization oracle — one [[kmeansCtes]] stack per subspace
+   * over the matching `embedding[a:b]` slice, results unioned with the
+   * subspace index. */
+  private def pqSql(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    val stacks = (0 until m).map { s =>
+      val st = kmeansCtes(k, iters, pre = s"s${s}_",
+        srcList = s"embedding[${s * sub + 1}:${(s + 1) * sub}]")
+      if (s == 0) st else st.replaceFirst("WITH ", "")
+    }.mkString(",")
+    val union = (0 until m).map(s =>
+      s"SELECT $s AS sub, vec_id, CAST(cid AS BIGINT) AS code, dist2 FROM s${s}_afinal")
+      .mkString(" UNION ALL ")
+    s"$stacks\n      $union"
   }
 
   private def kmeansSql(k: Int, iters: Int): String =
@@ -3005,6 +3031,7 @@ object SparkEntry {
     "q_ann_topk" -> annTopkSql,
     "q_embed_top_pairs" -> embedTopPairsSql,
     "q_kmeans" -> kmeansSql(k = 4, iters = 3),
+    "q_pq" -> pqSql(m = 4, k = 8, iters = 2, dim = 64),
     "q_cluster_sample" -> clusterSampleSql(k = 4, iters = 3, perCluster = 25),
     "q_reciprocity" -> s"""
       WITH e AS (SELECT src, dst FROM ($SqlEMOD) t),
