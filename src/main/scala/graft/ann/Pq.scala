@@ -29,7 +29,9 @@ object Pq {
   def codes(points: DataFrame, m: Int, k: Int, iters: Int,
             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     require(m > 0 && k > 0 && iters > 0, s"need positive m/k/iters, got $m/$k/$iters")
-    val dim = points.select(size(col(vec)).as("d")).limit(1).collect()(0).getInt(0)
+    val head = points.select(size(col(vec)).as("d")).limit(1).collect()
+    require(head.nonEmpty, "PQ needs a non-empty corpus to size subspaces")
+    val dim = head(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     (0 until m).map { s =>
