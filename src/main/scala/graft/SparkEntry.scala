@@ -460,6 +460,16 @@ object SparkEntry {
         .collect().map(_.getLong(0)).toSeq
       graft.alg.Centrality.stress(e, roots)
     }),
+    "q_edge_betweenness" -> ((s, dir) => {
+      // Girvan–Newman primitive: per-edge Brandes dependency over the same
+      // 3 sampled roots as q_betweenness — community cuts carry the mass
+      val e = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.alg.Centrality.edgeBetweenness(e, roots)
+        .select(col("src"), col("dst"),
+          round(col("edge_betweenness"), 6).as("edge_betweenness"))
+    }),
 
     "q_random_walk" -> ((s, dir) =>
       // deterministic md5-argmin walks of length 8 from EVERY vertex — the
@@ -2241,6 +2251,51 @@ object SparkEntry {
     parts.result().mkString
   }
 
+  /** Edge-betweenness oracle — the same unrolled Brandes stacks as
+   * [[brandesSql]], but emitting each backward level's per-DAG-edge
+   * contribution (σ(v)/σ(w) · (1 + δ(w))) before the vertex rollup, summed
+   * per directed edge of the symmetrized graph. */
+  private def brandesEdgeSql(depth: Int, nRoots: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""
+    WITH RECURSIVE und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM ($SqlEMOD) UNION ALL SELECT dst AS src, src AS dst FROM ($SqlEMOD))),
+    roots AS MATERIALIZED (SELECT src AS r, ROW_NUMBER() OVER (ORDER BY src) AS ri
+      FROM (SELECT DISTINCT src FROM ($SqlEMOD) ORDER BY src LIMIT $nRoots))"""
+    val escores = Seq.newBuilder[String]
+    for (i <- 1 to nRoots) {
+      parts += s"""
+    , walk$i(v, d) AS (
+        SELECT (SELECT r FROM roots WHERE ri = $i), 0
+        UNION
+        SELECT und.dst, w.d + 1 FROM walk$i w JOIN und ON w.v = und.src WHERE w.d < $depth)
+    , lvl$i AS MATERIALIZED (SELECT v, MIN(d) AS d FROM walk$i GROUP BY v)
+    , sig${i}_0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) AS sigma FROM lvl$i WHERE d = 0)"""
+      for (l <- 1 to depth) parts += s"""
+    , sig${i}_$l AS MATERIALIZED (
+        SELECT l.v, SUM(s.sigma) AS sigma
+        FROM lvl$i l JOIN und ON und.dst = l.v JOIN sig${i}_${l - 1} s ON s.v = und.src
+        WHERE l.d = $l GROUP BY l.v)"""
+      parts += s"""
+    , del${i}_$depth AS MATERIALIZED (SELECT v, sigma, CAST(0 AS DOUBLE) AS delta FROM sig${i}_$depth)"""
+      for (l <- (depth - 1) to 0 by -1) parts += s"""
+    , ec${i}_$l AS MATERIALIZED (
+        SELECT s2.v AS esrc, und.dst AS edst,
+          (s2.sigma / d.sigma) * (1 + d.delta) AS c
+        FROM sig${i}_$l s2 JOIN und ON und.src = s2.v JOIN del${i}_${l + 1} d ON d.v = und.dst)
+    , del${i}_$l AS MATERIALIZED (
+        SELECT s.v, s.sigma, COALESCE(c.delta, 0) AS delta FROM sig${i}_$l s LEFT JOIN (
+          SELECT esrc AS v, SUM(c) AS delta FROM ec${i}_$l GROUP BY esrc) c ON s.v = c.v)"""
+      escores ++= ((depth - 1) to 0 by -1).map(l => s"SELECT esrc, edst, c FROM ec${i}_$l")
+    }
+    val u = escores.result().mkString(" UNION ALL ")
+    parts += s"""
+    , esc AS (SELECT esrc, edst, SUM(c) AS score FROM ($u) GROUP BY esrc, edst)
+    SELECT und.src, und.dst, ROUND(COALESCE(esc.score, 0), 6) AS edge_betweenness
+    FROM und LEFT JOIN esc ON und.src = esc.esrc AND und.dst = esc.edst"""
+    parts.result().mkString
+  }
+
   // md5-family simhash (SimHash.md5Fingerprints mirror): bit b of a token's
   // hash lives in md5 hex digit (63-b)/4+1 (1-based from the left), bit b%4.
   private def simhashVoteSql: String = {
@@ -3149,6 +3204,7 @@ object SparkEntry {
     "q_maxflow" -> maxflowSql,
     "q_betweenness" -> brandesSql(stress = false, depth = 8, nRoots = 3),
     "q_stress" -> brandesSql(stress = true, depth = 8, nRoots = 3),
+    "q_edge_betweenness" -> brandesEdgeSql(depth = 8, nRoots = 3),
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql(maxDistance = 3)
     // q_label_prop_pruned_full (convergence-dependent iteration count — not

@@ -116,6 +116,81 @@ object Centrality {
     perSource(edges, sources, stress = false)
       .withColumnRenamed("score", "betweenness")
 
+  /** Per-edge backward accumulation for one source: emits every BFS-DAG
+   * edge's dependency c(v→w) = σ(v)/σ(w) · (1 + δ(w)) — the same contrib
+   * rows [[backward]] aggregates per vertex, kept keyed by the edge. The
+   * (v, w) frame is persisted per level because it feeds BOTH the edge
+   * emission and the vertex-delta rollup the next level up. */
+  private def backwardEdges(adj: DataFrame, levels: ArrayBuffer[DataFrame],
+                            source: Long): DataFrame = {
+    var delta: DataFrame = null
+    var acc: DataFrame = null
+    val cache = ArrayBuffer[DataFrame]()
+    for (l <- levels.indices.reverse) {
+      val cur = levels(l)
+      if (delta == null) {
+        delta = cur.withColumn("delta", lit(0.0))
+          .transform(graft.core.Lineage.cut)
+      } else {
+        val pair = adj.join(cur, adj(Graph.SRC) === cur(Graph.VID))
+          .select(cur(Graph.VID).as("v"), col("sigma").as("sv"),
+            explode(col("nbrs")).as("w"))
+          .join(delta.select(col(Graph.VID).as("w"), col("sigma").as("sw"),
+            col("delta").as("dw")), Seq("w"))
+          .select(col("v"), col("w"),
+            ((col("sv") / col("sw")) * (lit(1.0) + col("dw"))).as("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cache += pair
+        val contrib = pair.groupBy(col("v").as(Graph.VID))
+          .agg(sum("c").as("delta"))
+        val withDelta = cur.join(contrib, Seq(Graph.VID), "left")
+          .select(col(Graph.VID), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta"))
+        val scored = pair.select(col("v").as(Graph.SRC),
+          col("w").as(Graph.DST), col("c").as("score"))
+        acc = if (acc == null) scored else acc.unionByName(scored)
+        delta = withDelta.transform(graft.core.Lineage.cut)
+      }
+    }
+    val out =
+      if (acc == null)
+        delta.sparkSession.emptyDataFrame
+          .select(lit(0L).as(Graph.SRC), lit(0L).as(Graph.DST),
+            lit(0.0).as("score")).limit(0)
+      else acc.groupBy(Graph.SRC, Graph.DST).agg(sum("score").as("score"))
+          .transform(graft.core.Lineage.cut)
+    cache.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /**
+   * Edge betweenness over the given sources — the Girvan–Newman primitive
+   * (iteratively removing the highest-betweenness edge splits communities).
+   * A stored edge (v, w) scores Σ_s σ_s(v)/σ_s(w) · (1 + δ_s(w)) over the
+   * sources whose BFS DAG it lies on; edges on no sampled shortest path
+   * score 0. Same per-level join structure (and cost) as [[betweenness]];
+   * the only extra state is the per-level (v, w, c) frame, cached for its
+   * two readers and released per source.
+   */
+  def edgeBetweenness(edges: DataFrame, sources: Seq[Long]): DataFrame = {
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val parts = sources.map { s =>
+      val levels = forward(adj, s)
+      val out = backwardEdges(adj, levels, s)
+      levels.foreach(_.unpersist(blocking = false))
+      out
+    }
+    val all = parts.reduce(_ unionByName _)
+      .groupBy(Graph.SRC, Graph.DST).agg(sum("score").as("edge_betweenness"))
+    val base = edges.select(col(Graph.SRC), col(Graph.DST))
+      .filter(col(Graph.SRC) =!= col(Graph.DST)).distinct()
+    val res = base.join(all, Seq(Graph.SRC, Graph.DST), "left")
+      .select(col(Graph.SRC), col(Graph.DST),
+        coalesce(col("edge_betweenness"), lit(0.0)).as("edge_betweenness"))
+    adj.unpersist(blocking = false)
+    res
+  }
+
   /** Stress centrality (shortest-path counts through each vertex). */
   def stress(edges: DataFrame, sources: Seq[Long]): DataFrame =
     perSource(edges, sources, stress = true)

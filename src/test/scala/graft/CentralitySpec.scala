@@ -43,6 +43,40 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  private def edgeBc(edges: org.apache.spark.sql.DataFrame, sources: Seq[Long]) =
+    Centrality.edgeBetweenness(edges, sources).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("edge betweenness: path and star closed forms") {
+    // path 0-1-2 (undirected), all sources: every directed edge scores 2
+    val path = GraphGen.chain(spark, 3)
+    edgeBc(path, Seq(0L, 1L, 2L)).values.foreach(v => assert(math.abs(v - 2.0) < 1e-12))
+    // star center 0 with 4 leaves, all sources: every directed edge scores 4
+    val star = graft.core.Graph.undirected(
+      (1L to 4L).map(i => (0L, i)).toDF("src", "dst"))
+    val got = edgeBc(star, Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.size == 8)
+    got.values.foreach(v => assert(math.abs(v - 4.0) < 1e-12))
+  }
+
+  test("edge betweenness: per-vertex rollup equals vertex betweenness") {
+    // δ_s(v) = Σ_{w∈succ} c_s(v,w) exactly, so summing a vertex's OUTGOING
+    // edge scores reproduces the (oracle-checked) vertex betweenness
+    val edges = graft.core.Graph.undirected(GraphGen.uniform(spark, 20, 60, seed = 8)).cache()
+    val sources = edges.collect().map(_.getLong(0)).distinct.sorted.take(5).toSeq
+    val byEdge = edgeBc(edges, sources)
+    val rollup = byEdge.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vertex = toMap[Double](Centrality.betweenness(edges, sources))
+    // source vertices differ by construction: vertex betweenness never
+    // accumulates δ_s(s), but s's outgoing DAG edges do carry it
+    vertex.filter(kv => !sources.contains(kv._1)).foreach { case (vid, b) =>
+      assert(math.abs(rollup.getOrElse(vid, 0.0) - b) < 1e-9,
+        s"vid=$vid rollup ${rollup.getOrElse(vid, 0.0)} vs $b")
+    }
+    // edges never on a sampled shortest path exist in the output with 0.0
+    assert(byEdge.size == edges.count())
+  }
+
   test("multi-source BFS equals per-source BFS") {
     val edges = GraphGen.grid(spark, 3, 4)
     val sources = Seq(0L, 5L)
