@@ -966,6 +966,21 @@ object SparkEntry {
       documents(s, dir).select(id, graft.text.UrlOps.normalizeUrl(
         concat(lit("https://"), host, port, path, frag)).as("url_norm"))
     }),
+    "q_blocklist" -> ((s, dir) => {
+      // crawl-pipeline suffix blocklist: hosts (some with a deeper label)
+      // explode into their dot-suffix chains and hash-join the blocklist;
+      // 'srcN.example.org' entries block the deep subdomains too
+      import s.implicits._
+      val id = col("doc_id")
+      val m = (id % 20).cast("string")
+      val host = when(id % 4 === 0, concat(lit("deep.src"), m, lit(".example.org")))
+        .otherwise(concat(lit("src"), m, lit(".example.org")))
+      val bl = Seq("src3.example.org", "src11.example.org", "deep.src8.example.org")
+        .toDF("suffix")
+      graft.text.UrlOps.suffixBlock(documents(s, dir), id, host, bl)
+        .select(col("id").as("doc_id"), col("host"), col("blocked"),
+          col("block_suffix"))
+    }),
     "q_latest_snapshot" -> ((s, dir) => {
       // 5 crawl snapshots per page (doc_id % 100 keys the page; case/port/
       // fragment noise collapses under normalization); keep the latest
@@ -3033,6 +3048,23 @@ object SparkEntry {
       hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g))
       SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+    "q_blocklist" -> """
+      WITH u AS (SELECT doc_id,
+        lower(CASE WHEN doc_id % 4 = 0
+          THEN 'deep.src' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+          ELSE 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' END) AS host
+        FROM documents),
+      bl AS (SELECT lower(sfx) AS sfx FROM (VALUES ('src3.example.org'),
+        ('src11.example.org'), ('deep.src8.example.org')) v(sfx)),
+      parts AS (SELECT doc_id, string_split(host, '.') AS L FROM u),
+      sufs AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(L)),
+          i -> array_to_string(L[i:len(L)], '.'))) AS sfx FROM parts),
+      hits AS (SELECT doc_id, max_by(sfx, length(sfx)) AS s
+               FROM sufs JOIN bl USING (sfx) GROUP BY doc_id)
+      SELECT u.doc_id, u.host, hits.s IS NOT NULL AS blocked,
+        hits.s AS block_suffix
+      FROM u LEFT JOIN hits ON u.doc_id = hits.doc_id""",
     "q_url_norm" -> """
       SELECT doc_id,
         'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'

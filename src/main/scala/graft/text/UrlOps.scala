@@ -46,6 +46,39 @@ object UrlOps {
   }
 
   /**
+   * Domain-suffix blocklist filter — the crawl-pipeline primitive: a host
+   * `a.b.example.org` is blocked by blocklist entries `example.org`,
+   * `b.example.org`, … (label-boundary suffixes, case-insensitive).
+   *
+   * Spark-first shape: each host explodes into its O(#labels) dot-suffix
+   * chain and hash-joins the blocklist on the suffix — never a per-row scan
+   * of the blocklist, never a regex alternation. The blocklist side
+   * broadcasts when small and degrades to an ordinary equi-join when huge
+   * (a billion-entry blocklist still joins by key). Because one host's
+   * suffixes form a NESTED chain, all its blocklist matches are suffixes of
+   * each other — the longest match is unique, reported as `block_suffix`.
+   *
+   * Output: (id, host, blocked, block_suffix) with `host` lowercased and
+   * `block_suffix` null for unblocked rows.
+   */
+  def suffixBlock(df: DataFrame, id: Column, host: Column,
+                  blocklist: DataFrame, suffixCol: String = "suffix"): DataFrame = {
+    val base = df.select(id.as("id"), lower(host).as("host"))
+    val labs = base.select(col("id"), split(col("host"), "\\.").as("L"))
+    val sufs = labs.select(col("id"),
+      explode(transform(sequence(lit(1), size(col("L"))),
+        i => array_join(slice(col("L"), i, size(col("L")) - i + 1), ".")))
+        .as("sfx"))
+    val hits = sufs
+      .join(blocklist.select(lower(col(suffixCol)).as("sfx")).distinct(), Seq("sfx"))
+      .groupBy("id")
+      .agg(max(struct(length(col("sfx")).as("l"), col("sfx").as("s"))).as("m"))
+    base.join(hits, Seq("id"), "left")
+      .select(col("id"), col("host"),
+        col("m").isNotNull.as("blocked"), col("m.s").as("block_suffix"))
+  }
+
+  /**
    * One row per normalized url: the row with the greatest `tsCol`, ties
    * broken by greatest `idCol`. Output: `url_norm` plus every original
    * column of the winning row.

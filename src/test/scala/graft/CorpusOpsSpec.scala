@@ -150,4 +150,24 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(again == got)
   }
+
+  test("suffixBlock: label-boundary suffixes, longest match, case folding") {
+    val hosts = Seq(
+      (1L, "A.B.Example.ORG"),   // blocked by example.org AND b.example.org
+      (2L, "example.org"),       // exact entry
+      (3L, "notexample.org"),    // NOT blocked: label boundary
+      (4L, "b.example.com"),     // sibling TLD, unblocked
+      (5L, "x.y.ads.net"))       // blocked by the TLD-less suffix ads.net
+      .toDF("doc_id", "host")
+    val bl = Seq("Example.org", "b.example.org", "ads.net").toDF("suffix")
+    val got = UrlOps.suffixBlock(hosts, col("doc_id"), col("host"), bl)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got == Map(
+      1L -> ((true, Some("b.example.org"))),  // longest of the nested matches
+      2L -> ((true, Some("example.org"))),
+      3L -> ((false, None)),
+      4L -> ((false, None)),
+      5L -> ((true, Some("ads.net")))))
+  }
 }
