@@ -966,6 +966,14 @@ object SparkEntry {
       documents(s, dir).select(id, graft.text.UrlOps.normalizeUrl(
         concat(lit("https://"), host, port, path, frag)).as("url_norm"))
     }),
+    "q_length_profile" -> ((s, dir) =>
+      // per-source token-length distribution: the diagnostic behind every
+      // length-filter threshold; exact interpolated quantiles (DuckDB
+      // quantile_cont parity), approx_percentile is the 100 TB path
+      graft.text.Curation.profile(documents(s, dir), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("double"))
+        .select(col("key").as("source"), col("n").as("n_docs"),
+          col("p50"), col("p90"), col("p99"))),
     "q_blocklist" -> ((s, dir) => {
       // crawl-pipeline suffix blocklist: hosts (some with a deeper label)
       // explode into their dot-suffix chains and hash-join the blocklist;
@@ -3048,6 +3056,12 @@ object SparkEntry {
       hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g))
       SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+    "q_length_profile" -> s"""
+      SELECT source, COUNT(*) AS n_docs,
+        ROUND(quantile_cont(CAST(len(regexp_extract_all(text, '$TOK')) AS DOUBLE), 0.5), 6) AS p50,
+        ROUND(quantile_cont(CAST(len(regexp_extract_all(text, '$TOK')) AS DOUBLE), 0.9), 6) AS p90,
+        ROUND(quantile_cont(CAST(len(regexp_extract_all(text, '$TOK')) AS DOUBLE), 0.99), 6) AS p99
+      FROM documents GROUP BY source""",
     "q_blocklist" -> """
       WITH u AS (SELECT doc_id,
         lower(CASE WHEN doc_id % 4 = 0

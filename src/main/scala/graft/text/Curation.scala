@@ -307,6 +307,29 @@ object Curation {
   }
 
   /**
+   * Per-key distribution profile of a numeric column — the curation
+   * diagnostic behind length-filter thresholds (what ARE this source's
+   * p50/p90/p99 token counts?). `exact = true` uses the exact interpolated
+   * percentile (the p·(n−1) linear-interpolation definition DuckDB's
+   * `quantile_cont` shares — oracle-replayable), which buffers each
+   * group's values in the aggregate: right for profiling runs and modest
+   * group sizes. At the full 10^12-document scale pass `exact = false` for
+   * `approx_percentile` (GK sketch, bounded memory) — same output shape.
+   */
+  def profile(df: DataFrame, key: Column, value: Column,
+              ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+              exact: Boolean = true): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad quantiles $ps")
+    val qs = ps.map { p =>
+      val c = if (exact) percentile(value, lit(p))
+              else approx_percentile(value, lit(p), lit(10000))
+      round(c, 6).as(s"p${(p * 100).round}")
+    }
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"), qs: _*)
+  }
+
+  /**
    * Sliding-window chunking of long documents — the context-window prep
    * step between cleaning and packing: a document of n tokens becomes
    * windows of `window` tokens starting every `stride` tokens (overlap =

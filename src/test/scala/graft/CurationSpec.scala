@@ -193,6 +193,20 @@ class CurationSpec extends SparkSpec {
     assert(kept.filter(col("lang").isNull).count() == 10L)
   }
 
+  test("profile: exact interpolated quantiles per key; approx shares the shape") {
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++ Seq(("b", 7.0)))
+      .toDF("k", "v")
+    val got = Curation.profile(df, col("k"), col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // p*(n-1) linear interpolation on 1..10: p50=5.5, p90=9.1, p99=9.91
+    assert(got("a") == ((10L, 5.5, 9.1, 9.91)))
+    assert(got("b") == ((1L, 7.0, 7.0, 7.0)))
+    val approx = Curation.profile(df, col("k"), col("v"), exact = false)
+    assert(approx.columns.toSeq == Seq("key", "n", "p50", "p90", "p99"))
+    assert(approx.count() == 2)
+  }
+
   test("chunkWindows: overlap windows, clipped tail, empty docs dropped") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
