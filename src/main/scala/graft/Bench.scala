@@ -84,7 +84,7 @@ object Bench {
     "q_neg_sample", "q_khop_sample",
     "q_mis", "q_matching", "q_msf",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",
-    "q_ann_topk", "q_embed_smooth", "q_pca_cov", "q_quantize",
+    "q_ann_topk", "q_margin_mine", "q_embed_smooth", "q_pca_cov", "q_quantize",
     "q_token_stats", "q_lang_id", "q_quality", "q_chunk",
     "q_event_windows", "q_sessionize", "q_interval_join", "q_ngram_jaccard",
     // round-3 batch 2: corpus-curation surface — the map-only passes

@@ -1092,6 +1092,16 @@ object SparkEntry {
       graft.ann.Ann.bruteForceTopK(emb, queries, k = 10)
         .select(col("query_id"), col("vec_id"), col("sim"), col("rank").cast("long").as("rank"))
     }),
+    "q_margin_mine" -> ((s, dir) => {
+      // LASER-style margin mining: cosine normalized by both sides' k-NN
+      // averages suppresses hub vectors; exact nano-unit arithmetic
+      val emb = embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      graft.ann.Ann.marginTopK(emb, queries, k = 10, m = 5)
+        .select(col("query_id"), col("vec_id"), col("sim"), col("margin"),
+          col("rank").cast("long").as("rank"))
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -3130,6 +3140,44 @@ object SparkEntry {
       WHERE ($bandHit) AND $est >= 0.5"""
     },
     "q_ann_topk" -> annTopkSql,
+    "q_margin_mine" -> """
+      WITH c AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          CAST(FLOOR(
+            list_dot_product(q.qe, c.e) /
+            (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e)))
+            * 1e9 + 0.5) AS BIGINT) AS sim_n
+        FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id),
+      top AS MATERIALIZED (SELECT * FROM (
+        SELECT query_id, vec_id, sim_n,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_n DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= 10),
+      qsumt AS (SELECT query_id, SUM(sim_n) AS qsum FROM top GROUP BY query_id),
+      cand AS (SELECT DISTINCT vec_id FROM top),
+      cscored AS (
+        SELECT a.vec_id AS cid, b.vec_id, CAST(FLOOR(
+            list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            * 1e9 + 0.5) AS BIGINT) AS sim_n
+        FROM (SELECT c.* FROM c JOIN cand USING (vec_id)) a
+        CROSS JOIN c b WHERE b.vec_id <> a.vec_id),
+      ctop AS (SELECT * FROM (
+        SELECT cid, sim_n,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sim_n DESC, vec_id) AS rk
+        FROM cscored) WHERE rk <= 10),
+      csumt AS (SELECT cid, SUM(sim_n) AS csum FROM ctop GROUP BY cid),
+      margins AS (
+        SELECT t.query_id, t.vec_id,
+          ROUND(CAST(t.sim_n AS DOUBLE) / 1e9, 9) AS sim,
+          CASE WHEN qsum + csum > 0
+            THEN ROUND(CAST(t.sim_n AS DOUBLE) * 20.0 / CAST(qsum + csum AS DOUBLE), 6)
+            ELSE 0.0 END AS margin
+        FROM top t JOIN qsumt USING (query_id) JOIN csumt ON csumt.cid = t.vec_id)
+      SELECT query_id, vec_id, sim, margin, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY margin DESC, vec_id) AS rank
+        FROM margins) WHERE rank <= 5""",
     "q_embed_top_pairs" -> embedTopPairsSql,
     "q_kmeans" -> kmeansSql(k = 4, iters = 3),
     "q_pq" -> pqSql(m = 4, k = 8, iters = 2, dim = 64),

@@ -104,6 +104,63 @@ object Ann {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
    * shared plane-signature buckets (+1-bit multiprobe for recall). */
+  /**
+   * Margin-based candidate mining (the LASER/CCMatrix bitext-mining score,
+   * ratio variant): margin(q, c) = cos(q, c) / ((avgK(q) + avgK(c)) / 2),
+   * where avgK(x) is the mean cosine of x's k nearest neighbors — the
+   * normalization that suppresses hub vectors whose raw cosine is high
+   * against EVERYTHING. Returns each query's top-`m` candidates by margin:
+   * (query_id, vec_id, sim, margin, rank).
+   *
+   * Cross-engine exactness: cosines quantize to integer nano-units
+   * (floor(cos·1e9 + 0.5)), so the k-NN averages are exact BIGINT sums and
+   * margin = sim_n · 2k / (qsum_n + csum_n) is one double expression both
+   * engines evaluate identically. A non-positive denominator (possible
+   * only when a vector's whole neighborhood is anti-correlated) scores
+   * 0.0 rather than null so the margin ordering stays engine-identical.
+   *
+   * Scale shape: the query side broadcasts (as in [[bruteForceTopK]]) and
+   * the candidate side is ≤ |Q|·k vectors, semi-joined out of the corpus
+   * and broadcast back — three corpus scans total, no corpus shuffle. At
+   * mining scale substitute the LSH/IVF top-k for the brute-force stages;
+   * the margin arithmetic is unchanged.
+   */
+  def marginTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+                 id: String = "vec_id", vec: String = "embedding",
+                 qid: String = "query_id", qvec: String = "q_embedding"): DataFrame = {
+    val simN = (a: Column, b: Column) =>
+      floor(cosine(a, b) * lit(1e9) + lit(0.5)).cast("long")
+    val top = corpus.join(broadcast(queries))
+      .filter(col(id) =!= col(qid))
+      .select(col(qid), col(id), simN(col(qvec), col(vec)).as("sim_n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qid).orderBy(col("sim_n").desc, col(id))))
+      .filter(col("rank") <= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qSum = top.groupBy(qid).agg(sum("sim_n").as("qsum"))
+    val candVecs = corpus
+      .join(top.select(col(id)).distinct(), Seq(id), "left_semi")
+      .select(col(id).as("__cid"), col(vec).as("__ce"))
+    val cSum = corpus.join(broadcast(candVecs))
+      .filter(col(id) =!= col("__cid"))
+      .select(col("__cid"), col(id), simN(col("__ce"), col(vec)).as("sim_n"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("__cid").orderBy(col("sim_n").desc, col(id))))
+      .filter(col("r") <= k)
+      .groupBy("__cid").agg(sum("sim_n").as("csum"))
+    top.join(qSum, Seq(qid))
+      .join(cSum.withColumnRenamed("__cid", id), Seq(id))
+      .select(col(qid), col(id),
+        round(col("sim_n").cast("double") / lit(1e9), 9).as("sim"),
+        when(col("qsum") + col("csum") > 0,
+          round(col("sim_n").cast("double") * lit(2.0 * k)
+            / (col("qsum") + col("csum")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("margin"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qid).orderBy(col("margin").desc, col(id))))
+      .filter(col("rank") <= m)
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
                          id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val sig = corpus.withColumn("sig", planeSignature(col(vec), planes))

@@ -133,6 +133,53 @@ class AnnSpec extends SparkSpec {
     assert(top.count() == 20)
   }
 
+  test("marginTopK matches an exact driver-side nano-unit replay") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(6) { d =>
+        (graft.gen.GraphGen.mix64(9L, i.toLong, d.toLong) % 1000L).toFloat / 1000f
+      }
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding").cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val k = 5; val m = 3
+    val got = Ann.marginTopK(emb, queries, k, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+
+    // driver replay: same ordered-sum cosine, same nano quantization
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    def nano(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val all = vecs.toMap
+    def topk(x: Long): Seq[(Long, Long)] =
+      all.keys.filter(_ != x).toSeq
+        .map(y => (y, nano(cos(all(x), all(y)))))
+        .sortBy { case (y, s) => (-s, y) }.take(k)
+    val want = (0L until 3L).flatMap { q =>
+      val tq = topk(q); val qsum = tq.map(_._2).sum
+      val margins = tq.map { case (c, sn) =>
+        val csum = topk(c).map(_._2).sum
+        val margin = if (qsum + csum > 0)
+          BigDecimal(sn.toDouble * 2 * k / (qsum + csum).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        (c, BigDecimal(sn.toDouble / 1e9).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, margin)
+      }
+      margins.sortBy { case (c, _, mg) => (-mg, c) }.take(m).zipWithIndex
+        .map { case ((c, s, mg), i) => (q, c, s, mg, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("probeMasks covers every Hamming weight up to the requested radius") {
     def choose(n: Int, k: Int): Long =
       (1 to k).map(i => (n - i + 1).toDouble / i).product.round
