@@ -86,7 +86,7 @@ object Bench {
     "q_dedup_exact", "q_minhash_sig", "q_simhash",
     "q_ann_topk", "q_margin_mine", "q_embed_smooth", "q_pca_cov", "q_quantize",
     "q_token_stats", "q_lang_id", "q_quality", "q_chunk",
-    "q_event_windows", "q_sessionize", "q_interval_join", "q_ngram_jaccard",
+    "q_event_windows", "q_event_sliding", "q_sessionize", "q_interval_join", "q_ngram_jaccard",
     // round-3 batch 2: corpus-curation surface — the map-only passes
     // (q_pii, q_url_norm, q_stratified_sample) should bench at scan speed
     // like the q_token_stats family; q_latest_snapshot adds one max_by

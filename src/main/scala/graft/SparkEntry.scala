@@ -504,6 +504,10 @@ object SparkEntry {
     // ---- event stream (batch = streaming plan, driver-checkable) ----
     "q_event_windows" -> ((s, dir) =>
       graft.streaming.EventStream.windowedCounts(events(s, dir))),
+    "q_event_sliding" -> ((s, dir) =>
+      // hopping rate view: 1-hour windows advancing every 30 minutes —
+      // every event lands in exactly two windows
+      graft.streaming.EventStream.slidingCounts(events(s, dir))),
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
       val ev = events(s, dir)
@@ -3258,6 +3262,15 @@ object SparkEntry {
     "q_neg_sample" -> negSampleSql(length = 8, walkSeed = 42L, k = 2,
       power = 0.75, drawSeed = 7L),
     "q_khop_sample" -> khopSql(fanouts = Seq(3, 2), seedMax = 50L),
+    "q_event_sliding" -> """
+      WITH ex AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w, event_type, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w,
+          event_type, value FROM events)
+      SELECT w AS window_start, event_type, COUNT(*) AS n_events,
+        ROUND(SUM(value), 6) AS total_value
+      FROM ex GROUP BY 1, 2""",
     "q_event_windows" -> """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value

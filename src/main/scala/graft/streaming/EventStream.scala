@@ -17,6 +17,23 @@ import java.sql.Timestamp
  */
 object EventStream {
 
+  /** Sliding (hopping) window counts + value sums per event type: window
+   * `windowDur` advancing every `slideDur` — each event contributes to
+   * windowDur/slideDur overlapping windows (the rate-monitoring view a
+   * tumbling window can't give). Same batch ≡ streaming plan contract as
+   * [[windowedCounts]]; state per key is bounded by windowDur/slideDur
+   * concurrent windows under the watermark. */
+  def slidingCounts(events: DataFrame,
+                    windowDur: String = "1 hour",
+                    slideDur: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), round(col("total_value"), 6).as("total_value"))
+  }
+
   /** Tumbling-window counts + value sums per event type, watermarked —
    * works on both batch DataFrames and streaming DataFrames (the plan is
    * identical; Catalyst picks the stateful physical operator when

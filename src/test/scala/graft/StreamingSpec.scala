@@ -36,6 +36,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in windowDur/slideDur windows") {
+    val events = Seq(
+      (1L, ts(5), 1L, "click", 1.0),   // windows starting at -30 and 0
+      (2L, ts(40), 1L, "click", 2.0))  // windows starting at 0 and 30
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.slidingCounts(events, "1 hour", "30 minutes").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(2), r.getDouble(3))))
+      .sortBy(_._1.getTime)
+    // events 35 min apart: 3 distinct epoch-aligned windows, middle shared
+    assert(got.map(_._2).toSeq == Seq((1L, 1.0), (2L, 3.0), (1L, 2.0)))
+    assert(got(1)._1.getTime - got(0)._1.getTime == 30 * 60000L)
+    assert(got(2)._1.getTime - got(1)._1.getTime == 30 * 60000L)
+    assert(got.map(_._2._1).sum == 4) // each event in exactly 2 windows
+    // streaming plan accepts the same expression
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val agg = EventStream.slidingCounts(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "1 hour", "30 minutes", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts(5), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("slide_counts").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionization splits on the gap and aggregates per session") {
     val events = Seq(
       Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 2.0),
