@@ -16,6 +16,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
     val edges = graft.gen.GraphGen.rmat(spark, 14, 8, seed = 3).cache()
     edges.count()
@@ -403,6 +404,27 @@ object Explain {
           .select(col("event_id").as("view_id"), col("ts").as("view_ts"), col("user_id")),
         "user_id", "click_ts", "view_ts", lookback = "30 minutes")
       .explain("formatted")
+
+    println("==== suffix blocklist: O(labels) suffix explode + broadcast hash join ====")
+    graft.text.UrlOps.suffixBlock(docsE, col("doc_id"),
+        concat(lit("src"), (col("doc_id") % 20).cast("string"), lit(".example.org")),
+        Seq("src3.example.org").toDF("suffix"))
+      .explain("formatted")
+
+    println("==== length profile: ONE exchange, exact percentile buffers per group ====")
+    graft.text.Curation.profile(docsE, col("source"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("double"))
+      .explain("formatted")
+
+    println("==== margin mining: 3 broadcast-side corpus scans, no corpus shuffle ====")
+    graft.ann.Ann.marginTopK(embE,
+        embE.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding")),
+        k = 5, m = 3)
+      .explain("formatted")
+
+    println("==== sliding windows: one Expand (2 rows/event) + hash agg ====")
+    graft.streaming.EventStream.slidingCounts(evE).explain("formatted")
 
     println("==== Parquet scan pruning (documents: 2 columns of 5) ====")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
