@@ -104,7 +104,7 @@ object Bench {
     "q_louvain", "q_spinner",
     // embedding clustering (driver-held centers, one codegen'd argmin pass
     // + capped-update shuffle) and second-order biased walk sampling
-    "q_kmeans", "q_pq", "q_node2vec",
+    "q_kmeans", "q_pq", "q_coreset", "q_node2vec",
     // keyword extraction (two term aggregates + per-doc rank window) and
     // embedding-space eval-leakage filtering (broadcast benchmark)
     "q_tfidf", "q_semantic_decontaminate",

@@ -1096,6 +1096,13 @@ object SparkEntry {
       graft.ann.Ann.bruteForceTopK(emb, queries, k = 10)
         .select(col("query_id"), col("vec_id"), col("sim"), col("rank").cast("long").as("rank"))
     }),
+    "q_coreset" -> ((s, dir) => {
+      // diversity-preserving pruning: 8 Gonzalez k-center representatives
+      // (max-spread, not density modes) + the one-pass nearest assignment
+      val emb = embeddings(s, dir)
+      val cs = graft.ann.Coreset.centers(emb, k = 8)
+      graft.ann.Coreset.assign(emb, cs)
+    }),
     "q_margin_mine" -> ((s, dir) => {
       // LASER-style margin mining: cosine normalized by both sides' k-NN
       // averages suppresses hub vectors; exact nano-unit arithmetic
@@ -2437,6 +2444,36 @@ object SparkEntry {
     s"""${kmeansCtes(k, iters)}
       SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2 FROM afinal"""
 
+  /** Gonzalez k-center oracle — unrolls [[graft.ann.Coreset.centers]]:
+   * round r picks argmax of the min rounded distance to the r−1 chosen
+   * centers (ties → min id), then assigns every vector to its nearest
+   * center (ties → min center id). */
+  private def coresetSql(k: Int): String = {
+    def d2(p: String, c: String) =
+      s"ROUND(list_dot_product($p.e, $p.e) - 2*list_dot_product($p.e, $c.e) + " +
+        s"list_dot_product($c.e, $c.e), 9)"
+    val rounds = (2 to k).map { r =>
+      s"""
+      , md$r AS (SELECT p.vec_id, MIN(${d2("p", "c")}) AS md
+                 FROM p CROSS JOIN cents${r - 1} c GROUP BY p.vec_id)
+      , pick$r AS MATERIALIZED (SELECT p.vec_id, p.e FROM p JOIN
+          (SELECT vec_id FROM md$r ORDER BY md DESC, vec_id LIMIT 1) s USING (vec_id))
+      , cents$r AS MATERIALIZED (
+          SELECT * FROM cents${r - 1} UNION ALL SELECT * FROM pick$r)"""
+    }.mkString
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cents1 AS MATERIALIZED (
+        SELECT vec_id, e FROM p WHERE vec_id = (SELECT MIN(vec_id) FROM p))
+      $rounds
+      SELECT vec_id, center_id, dist2 FROM (
+        SELECT p.vec_id, c.vec_id AS center_id, ${d2("p", "c")} AS dist2,
+          ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                             ORDER BY ${d2("p", "c")}, c.vec_id) AS rn
+        FROM p CROSS JOIN cents$k c) t WHERE rn = 1"""
+  }
+
   /** k-hop minibatch-sampler oracle — unrolls
    * [[graft.core.Graph.sampleKHop]] hop by hop: each hop is the
    * q_neighbor_sample window rank restricted to the previous hop's
@@ -3185,6 +3222,7 @@ object SparkEntry {
     "q_embed_top_pairs" -> embedTopPairsSql,
     "q_kmeans" -> kmeansSql(k = 4, iters = 3),
     "q_pq" -> pqSql(m = 4, k = 8, iters = 2, dim = 64),
+    "q_coreset" -> coresetSql(k = 8),
     "q_cluster_sample" -> clusterSampleSql(k = 4, iters = 3, perCluster = 25),
     "q_reciprocity" -> s"""
       WITH e AS (SELECT src, dst FROM ($SqlEMOD) t),

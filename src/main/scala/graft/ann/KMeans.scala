@@ -33,8 +33,9 @@ import org.apache.spark.storage.StorageLevel
 object KMeans {
 
   /** Ordered-sum dot product of two double-array columns (left to right —
-   * bitwise-reproducible across engines that sum in element order). */
-  private def dot(a: Column, b: Column): Column =
+   * bitwise-reproducible across engines that sum in element order).
+   * Shared with [[Coreset]], which uses the same distance contract. */
+  private[ann] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   final case class Model(

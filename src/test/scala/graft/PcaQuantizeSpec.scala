@@ -65,6 +65,40 @@ class PcaQuantizeSpec extends SparkSpec {
     Seq(0L, 1L, 2L).foreach(v => assert(got((v, 1L)) == 0L)) // constant dim
   }
 
+  test("coreset: farthest-point sweep hand case and driver replay") {
+    import graft.ann.Coreset
+    // a line of points: 0@(0,0), 1@(1,0), 2@(10,0), 3@(10.5,0)
+    val line = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(10f, 0f)), (3L, Array(10.5f, 0f))).toDF("vec_id", "embedding")
+    val cs = Coreset.centers(line, k = 3)
+    // first = min id; second = farthest (3 @ 10.5); third = next-farthest (1)
+    assert(cs.map(_._1).toSeq == Seq(0L, 3L, 1L))
+    val asg = Coreset.assign(line, cs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg == Map(0L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 3L))
+
+    // driver replay on the pseudo-random corpus: same rounded-distance,
+    // argmax-tie and assignment-tie rules as the DuckDB oracle
+    val k = 4
+    val got = Coreset.centers(vecs, k).map(_._1).toSeq
+    val data = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var pp = 0.0; var pc = 0.0; var cc = 0.0
+      for (i <- a.indices) { pp += a(i) * a(i); pc += a(i) * b(i); cc += b(i) * b(i) }
+      BigDecimal(pp - 2.0 * pc + cc).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = scala.collection.mutable.ArrayBuffer(data.keys.min)
+    while (want.size < k) {
+      val next = data.keys.toSeq
+        .map(v => (v, want.map(c => d2(data(v), data(c))).min))
+        .minBy { case (v, md) => (-md, v) }._1
+      want += next
+    }
+    assert(got == want.toSeq)
+  }
+
   test("encode packs the same codes; decode error bounded by half a step") {
     val codes = Quantize.codes(vecs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
