@@ -2878,9 +2878,9 @@ object SparkEntry {
              FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
              GROUP BY 1, 2)
       SELECT m2.i, m2.j,
-        ROUND((CAST(sxy AS DOUBLE) / CAST(si.n AS DOUBLE)
+        (CAST(sxy AS DOUBLE) / CAST(si.n AS DOUBLE)
           - (CAST(si.s AS DOUBLE) / CAST(si.n AS DOUBLE))
-            * (CAST(sj.s AS DOUBLE) / CAST(si.n AS DOUBLE))) / 1e12, 6) AS cov
+            * (CAST(sj.s AS DOUBLE) / CAST(si.n AS DOUBLE))) / 1e12 AS cov
       FROM m2 JOIN m1 si ON m2.i = si.i JOIN m1 sj ON m2.j = sj.i""",
     "q_quantize" -> """
       WITH p AS (SELECT vec_id, embedding AS e FROM embeddings),

@@ -28,11 +28,16 @@ import org.apache.spark.sql.functions._
  */
 object Pca {
 
-  /** Upper-triangle covariance entries (i, j, cov), 0-based dims, i ≤ j,
-   * rounded to 6 decimals. cov = E[xy] − E[x]E[y] over micro-unit-exact
-   * sums: with u = floor(x·1e6 + 0.5), cov = (Σuᵢuⱼ/n − (Σuᵢ/n)(Σuⱼ/n))/1e12
-   * — every double derived from exact BIGINTs, so summation order cannot
-   * move the rounding boundary. */
+  /** Upper-triangle covariance entries (i, j, cov), 0-based dims, i ≤ j.
+   * cov = E[xy] − E[x]E[y] over micro-unit-exact sums: with
+   * u = floor(x·1e6 + 0.5), cov = (Σuᵢuⱼ/n − (Σuᵢ/n)(Σuⱼ/n))/1e12 —
+   * every double derived from exact BIGINTs in a FIXED operation order, so
+   * any engine replaying the same divisions reproduces the exact bit
+   * pattern. Deliberately NOT rounded: a post-division round(…, 6) sits on
+   * a .5 representation boundary for ~1/1000 values and Spark's
+   * BigDecimal HALF_UP disagrees with other engines' multiply-by-1e6
+   * rounding there (the q_pca_cov round-3 lesson; same nano-unit
+   * discipline as [[graft.text.Dsir]]). */
   def covariance(points: DataFrame, id: String = "vec_id",
                  vec: String = "embedding"): DataFrame = {
     val u = points.select(
@@ -55,9 +60,9 @@ object Pca {
     m.join(broadcast(m1.select(col("k").as("i"), col("s").as("si"), col("n"))), Seq("i"))
       .join(broadcast(m1.select(col("k").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round((col("sxy").cast("double") / n
+        ((col("sxy").cast("double") / n
           - (col("si").cast("double") / n) * (col("sj").cast("double") / n))
-          / lit(1e12), 6).as("cov"))
+          / lit(1e12)).as("cov"))
   }
 
   /** Top principal component of a collected upper-triangle covariance

@@ -55,9 +55,17 @@ object Dsir {
    * bucket; `tgt` marks rows from the target subset. */
   private def occurrences(docs: DataFrame, idCol: String, textCol: String,
                           isTarget: Column, hexLen: Int): DataFrame = {
-    val feats = concat(TextAnalysis.wordShingles(col(textCol), 1),
-      TextAnalysis.wordShingles(col(textCol), 2))
-    docs.select(col(idCol).as("id"), isTarget.as("tgt"), explode(feats).as("f"))
+    // tokenize ONCE into a materialized attribute, then derive both gram
+    // levels from it — unigrams ARE the token array (concat_ws of a 1-slice
+    // is the token itself), bigrams come from rawWordShingles over the
+    // attribute; nesting the tokenizer inside the shingle lambda instead
+    // re-ran it per token position (O(L²) per doc, the round-3 #1 headline
+    // cost)
+    docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("tgt"),
+        explode(concat(col("__toks"),
+          TextAnalysis.rawWordShingles(col("__toks"), 2))).as("f"))
       .select(col("id"), col("tgt"), bucket(col("f"), hexLen).as("b"))
   }
 

@@ -51,15 +51,18 @@ object Repetition {
   }
 
   /** Word n-grams of the lowercased token stream, joined by single spaces —
-   * the gram vocabulary shared by [[dupNgramFraction]] and [[topNgram]]. */
+   * the gram vocabulary shared by [[dupNgramFraction]] and [[topNgram]].
+   * O(L) per doc (tokenize-once, see [[TextAnalysis.wordShingles]]). */
   def wordGrams(text: Column, n: Int): Column = TextAnalysis.wordShingles(text, n)
 
   /** Fraction of word n-grams that are repeats of an earlier occurrence;
-   * null when the document has fewer than n tokens (callers filter). */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val g = wordGrams(text, n)
-    when(size(g) > 0, lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-  }
+   * null when the document has fewer than n tokens (callers filter).
+   * The gram array is evaluated ONCE via the single-element-transform
+   * device (three references otherwise re-run the shingler per use). */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    element_at(transform(array(wordGrams(text, n)), g =>
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g))), 1)
 
   /**
    * Most frequent word n-gram per document and the fraction of the token
@@ -71,11 +74,14 @@ object Repetition {
    * Output: (id, gram, cnt, char_frac) with char_frac rounded to 6 dp.
    */
   def topNgram(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = regexp_extract_all(lower(col(textCol)), lit("[^ \\t\\n\\r]+"), lit(0))
-    val grams = df.select(
-      col(idCol).as("id"),
-      length(array_join(toks, " ")).as("joined_len"),
-      explode(wordGrams(col(textCol), n)).as("gram"))
+    // tokenize once into an attribute; joined_len and the gram explode both
+    // read it (two regex runs per doc otherwise)
+    val grams = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(
+        col("id"),
+        length(array_join(col("__toks"), " ")).as("joined_len"),
+        explode(TextAnalysis.rawWordShingles(col("__toks"), n)).as("gram"))
     grams
       .groupBy(col("id"), col("joined_len"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -102,18 +108,22 @@ object Repetition {
    * keep); fractions rounded to 6 dp for cross-engine hashing.
    */
   def gopherStats(text: Column): Column = {
-    val toks = regexp_extract_all(lower(text), lit("[^ \\t\\n\\r]+"), lit(0))
-    val nWords = size(toks).cast("long")
-    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val meanLen = when(nWords > 0, round(tokChars.cast("double") / nWords, 6)).otherwise(lit(0.0))
-    val alphaFrac = when(nWords > 0,
-      round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nWords, 6))
-      .otherwise(lit(0.0))
     val stopHits = size(regexp_extract_all(lower(text), lit(StopPattern), lit(0))).cast("long")
-    val keep = nWords.between(50L, 100000L) &&
-      meanLen.between(3.0, 10.0) && alphaFrac >= 0.8 && stopHits >= 2L
-    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
-      alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"), keep.as("keep"))
+    // tokenize ONCE (single-element-transform device): n_words, token chars
+    // and alpha_frac all read the bound token array instead of re-running
+    // the tokenizer regex per measure
+    element_at(transform(array(TextAnalysis.tokens(text)), toks => {
+      val nWords = size(toks).cast("long")
+      val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      val meanLen = when(nWords > 0, round(tokChars.cast("double") / nWords, 6)).otherwise(lit(0.0))
+      val alphaFrac = when(nWords > 0,
+        round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nWords, 6))
+        .otherwise(lit(0.0))
+      val keep = nWords.between(50L, 100000L) &&
+        meanLen.between(3.0, 10.0) && alphaFrac >= 0.8 && stopHits >= 2L
+      struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"), keep.as("keep"))
+    }), 1)
   }
 
   /**
@@ -133,7 +143,8 @@ object Repetition {
    */
   def corpusTopNgrams(df: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(wordGrams(col(textCol), n)).as("gram"))
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(TextAnalysis.rawWordShingles(col("__toks"), n)).as("gram"))
       .groupBy(col("gram"), col("id")).agg(count(lit(1)).as("c"))
       .groupBy(col("gram"))
       .agg(sum(col("c")).as("cnt"), count(lit(1)).as("n_docs"))

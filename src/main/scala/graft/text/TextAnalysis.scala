@@ -110,18 +110,38 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Convenience one-shot form (normalization re-evaluates per element —
-   * fine for tests/small inputs; hot paths pre-project). */
+  /** Convenience one-shot form, O(L) in the normalization: the normalized
+   * string is evaluated once as the input of a single-element outer
+   * `transform`, so the shingle lambda reads a bound variable (same device
+   * as [[wordShingles]]). */
   def shingles(text: Column, n: Int): Column =
-    rawShingles(normalizeForShingles(text), n)
+    element_at(transform(array(normalizeForShingles(text)), t => rawShingles(t, n)), 1)
 
-  /** Word n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = allMatches(lower(text), "[^ \\t\\n\\r]+")
+  /** Lowercased whitespace tokens — the tokenizer shared by the word-gram
+   * family (identical to regexp_extract_all(lower(text), '\S+') in
+   * DuckDB). Pre-project this once when several gram levels are built from
+   * the same document (see [[rawWordShingles]]). */
+  def tokens(text: Column): Column =
+    allMatches(lower(text), "[^ \\t\\n\\r]+")
+
+  /** Word n-gram shingles of an ALREADY-evaluated token array: pass an
+   * attribute or a lambda variable, not a regex expression — an expression
+   * nested inside the `transform` lambda re-executes per output element
+   * (no subexpression elimination across lambda scopes), which turns
+   * shingling O(L) into O(L²) per document. */
+  def rawWordShingles(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt >= 1, transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles. One-shot form, still O(L): the token array is
+   * evaluated ONCE as the input of a single-element outer `transform`, so
+   * the inner shingle lambda references a bound lambda VARIABLE (an O(1)
+   * read), never the tokenizer expression — the round-3 q_dsir lesson
+   * (re-tokenizing inside the lambda cost O(L²) per document). */
+  def wordShingles(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), ts => rawWordShingles(ts, n)), 1)
 
   /**
    * CCNet-style unigram-LM quality scoring (Wenzek et al. 2020 use a KenLM

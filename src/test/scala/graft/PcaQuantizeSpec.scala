@@ -27,9 +27,8 @@ class PcaQuantizeSpec extends SparkSpec {
       val sxy = u.map(r => r(i) * r(j)).sum
       val si = u.map(_(i)).sum
       val sj = u.map(_(j)).sum
-      val want = BigDecimal(
-        (sxy.toDouble / n - (si.toDouble / n) * (sj.toDouble / n)) / 1e12)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // bit-exact: same exact BIGINTs, same division order, no rounding
+      val want = (sxy.toDouble / n - (si.toDouble / n) * (sj.toDouble / n)) / 1e12
       assert(got((i.toLong, j.toLong)) == want, s"cov($i,$j)")
     }
     assert(got.size == d * (d + 1) / 2)
