@@ -14,35 +14,40 @@ import scala.collection.mutable.ArrayBuffer
  * by level; backward pass accumulates dependencies per level descending.
  *
  * Each BFS level is one persisted DataFrame (the per-level frontier list the
- * reference keeps on the GPU); the backward pass joins successive levels —
- * O(diameter) jobs per source, every join shuffle-bounded by the level
- * sizes. Exact over the given sources; pass a sample for the reference's
- * CENTRALITY_APPROX mode (`totem_alg.h:88-90`).
+ * reference keeps on the GPU), and ALL sources run BATCHED in one loop
+ * carrying `root` through both passes (the [[multiSourceBfs]] device): jobs
+ * per BFS level are O(1) in the source count, so sampling dozens of sources
+ * — the reference's CENTRALITY_APPROX mode (`totem_alg.h:88-90`,
+ * `totem_betweenness.cu:518-756`) — costs O(max-diameter × 2) driver
+ * round-trips total, not per source; every join stays shuffle-bounded by
+ * the (root, vid) level sizes. Exact over the given sources.
  */
 object Centrality {
 
-  /** Per-source forward structure: levels(i) = (vid, sigma) at depth i. */
-  private def forward(adj: DataFrame, source: Long): ArrayBuffer[DataFrame] = {
+  /** Batched forward structure: levels(i) = (root, vid, sigma) at depth i —
+   * one frame holds every source's depth-i frontier; roots with smaller
+   * eccentricity simply stop contributing rows before the loop ends. */
+  private def forward(adj: DataFrame, sources: Seq[Long]): ArrayBuffer[DataFrame] = {
     val spark = adj.sparkSession
     import spark.implicits._
     val levels = ArrayBuffer[DataFrame]()
-    var frontier = Seq((source, 1L)).toDF(Graph.VID, "sigma")
+    var frontier = sources.map(s => (s, s, 1L)).toDF("root", Graph.VID, "sigma")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = frontier.select(Graph.VID)
+    var visited = frontier.select("root", Graph.VID)
       .persist(StorageLevel.MEMORY_AND_DISK)
     levels += frontier
     var done = false
     while (!done) {
       val next = adj.join(frontier, adj(Graph.SRC) === frontier(Graph.VID))
-        .select(explode(col("nbrs")).as(Graph.VID), col("sigma"))
-        .join(visited.withColumnRenamed(Graph.VID, "__v"),
-          col(Graph.VID) === col("__v"), "left_anti")
-        .groupBy(Graph.VID).agg(sum("sigma").as("sigma"))
+        .select(col("root"), explode(col("nbrs")).as(Graph.VID), col("sigma"))
+        .join(visited.select(col("root").as("__r"), col(Graph.VID).as("__v")),
+          col("root") === col("__r") && col(Graph.VID) === col("__v"), "left_anti")
+        .groupBy("root", Graph.VID).agg(sum("sigma").as("sigma"))
         .transform(graft.core.Lineage.cut)
       if (next.isEmpty) done = true
       else {
         levels += next
-        visited = visited.unionByName(next.select(Graph.VID))
+        visited = visited.unionByName(next.select("root", Graph.VID))
           .transform(graft.core.Lineage.cut)
         frontier = next
       }
@@ -51,42 +56,46 @@ object Centrality {
   }
 
   /**
-   * Backward accumulation. `stress = false`: betweenness dependencies
+   * Batched backward accumulation, keyed by root throughout.
+   * `stress = false`: betweenness dependencies
    * δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w));
    * `stress = true`: δ(v) = Σ_{w ∈ succ(v)} σ(v) · (1 + δ(w)/σ(w))
    * (path COUNTS through v rather than fractions).
-   * Returns (vid, score) for non-source vertices of this source's DAG.
+   * A root whose BFS depth m is below the batch maximum sees no delta rows
+   * at level m+1, so its deepest vertices coalesce to δ = 0 — the same
+   * base case the per-source loop gave its own last level. Returns
+   * (vid, score) summed over all roots, excluding each root's own row.
    */
   private def backward(adj: DataFrame, levels: ArrayBuffer[DataFrame],
-                       source: Long, stress: Boolean): DataFrame = {
-    val spark = adj.sparkSession
-    var delta: DataFrame = null // (vid, sigma, delta) of the level below
+                       stress: Boolean): DataFrame = {
+    var delta: DataFrame = null // (root, vid, sigma, delta) of the level below
     var acc: DataFrame = null   // accumulated per-vertex scores
     for (l <- levels.indices.reverse) {
       val cur = levels(l)
       val withDelta =
         if (delta == null) cur.withColumn("delta", lit(0.0))
         else {
-          // v in level l, w in level l+1 along an edge (v,w)
+          // v in level l, w in level l+1 along an edge (v,w), per root
           val contrib = adj.join(cur, adj(Graph.SRC) === cur(Graph.VID))
-            .select(cur(Graph.VID).as("v"), col("sigma").as("sv"),
+            .select(col("root"), cur(Graph.VID).as("v"), col("sigma").as("sv"),
               explode(col("nbrs")).as("w"))
-            .join(delta.select(col(Graph.VID).as("w"), col("sigma").as("sw"),
-              col("delta").as("dw")), Seq("w"))
-            .groupBy(col("v").as(Graph.VID))
+            .join(delta.select(col("root"), col(Graph.VID).as("w"),
+              col("sigma").as("sw"), col("delta").as("dw")), Seq("root", "w"))
+            .groupBy(col("root"), col("v").as(Graph.VID))
             .agg(sum(
               if (stress) col("sv") * (lit(1.0) + col("dw") / col("sw"))
               else (col("sv") / col("sw")) * (lit(1.0) + col("dw"))
             ).as("delta"))
-          cur.join(contrib, Seq(Graph.VID), "left")
-            .select(col(Graph.VID), col("sigma"),
+          cur.join(contrib, Seq("root", Graph.VID), "left")
+            .select(col("root"), col(Graph.VID), col("sigma"),
               coalesce(col("delta"), lit(0.0)).as("delta"))
         }
       val scored = withDelta
-        .filter(col(Graph.VID) =!= source)
+        .filter(col(Graph.VID) =!= col("root"))
         .select(col(Graph.VID), col("delta").as("score"))
       acc = if (acc == null) scored else acc.unionByName(scored)
-      delta = withDelta.select(col(Graph.VID), col("sigma"), col("delta"))
+      delta = withDelta
+        .select(col("root"), col(Graph.VID), col("sigma"), col("delta"))
         .transform(graft.core.Lineage.cut)
     }
     acc.groupBy(Graph.VID).agg(sum("score").as("score"))
@@ -94,14 +103,9 @@ object Centrality {
 
   private def perSource(edges: DataFrame, sources: Seq[Long], stress: Boolean): DataFrame = {
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val parts = sources.map { s =>
-      val levels = forward(adj, s)
-      val out = backward(adj, levels, s, stress)
-      levels.foreach(_.unpersist(blocking = false))
-      out
-    }
-    val all = parts.reduce(_ unionByName _)
-      .groupBy(Graph.VID).agg(sum("score").as("score"))
+    val levels = forward(adj, sources)
+    val all = backward(adj, levels, stress)
+    levels.foreach(_.unpersist(blocking = false))
     val verts = Graph.vertices(edges)
     val res = verts.join(all, Seq(Graph.VID), "left")
       .select(col(Graph.VID), coalesce(col("score"), lit(0.0)).as("score"))
@@ -116,13 +120,14 @@ object Centrality {
     perSource(edges, sources, stress = false)
       .withColumnRenamed("score", "betweenness")
 
-  /** Per-edge backward accumulation for one source: emits every BFS-DAG
-   * edge's dependency c(v→w) = σ(v)/σ(w) · (1 + δ(w)) — the same contrib
-   * rows [[backward]] aggregates per vertex, kept keyed by the edge. The
-   * (v, w) frame is persisted per level because it feeds BOTH the edge
-   * emission and the vertex-delta rollup the next level up. */
-  private def backwardEdges(adj: DataFrame, levels: ArrayBuffer[DataFrame],
-                            source: Long): DataFrame = {
+  /** Batched per-edge backward accumulation: emits every BFS-DAG edge's
+   * dependency c(v→w) = σ(v)/σ(w) · (1 + δ(w)) per root — the same contrib
+   * rows [[backward]] aggregates per vertex, kept keyed by the edge and
+   * summed over roots at the end. The (root, v, w) frame is persisted per
+   * level because it feeds BOTH the edge emission and the vertex-delta
+   * rollup the next level up. */
+  private def backwardEdges(adj: DataFrame,
+                            levels: ArrayBuffer[DataFrame]): DataFrame = {
     var delta: DataFrame = null
     var acc: DataFrame = null
     val cache = ArrayBuffer[DataFrame]()
@@ -133,18 +138,18 @@ object Centrality {
           .transform(graft.core.Lineage.cut)
       } else {
         val pair = adj.join(cur, adj(Graph.SRC) === cur(Graph.VID))
-          .select(cur(Graph.VID).as("v"), col("sigma").as("sv"),
+          .select(col("root"), cur(Graph.VID).as("v"), col("sigma").as("sv"),
             explode(col("nbrs")).as("w"))
-          .join(delta.select(col(Graph.VID).as("w"), col("sigma").as("sw"),
-            col("delta").as("dw")), Seq("w"))
-          .select(col("v"), col("w"),
+          .join(delta.select(col("root"), col(Graph.VID).as("w"),
+            col("sigma").as("sw"), col("delta").as("dw")), Seq("root", "w"))
+          .select(col("root"), col("v"), col("w"),
             ((col("sv") / col("sw")) * (lit(1.0) + col("dw"))).as("c"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         cache += pair
-        val contrib = pair.groupBy(col("v").as(Graph.VID))
+        val contrib = pair.groupBy(col("root"), col("v").as(Graph.VID))
           .agg(sum("c").as("delta"))
-        val withDelta = cur.join(contrib, Seq(Graph.VID), "left")
-          .select(col(Graph.VID), col("sigma"),
+        val withDelta = cur.join(contrib, Seq("root", Graph.VID), "left")
+          .select(col("root"), col(Graph.VID), col("sigma"),
             coalesce(col("delta"), lit(0.0)).as("delta"))
         val scored = pair.select(col("v").as(Graph.SRC),
           col("w").as(Graph.DST), col("c").as("score"))
@@ -168,20 +173,17 @@ object Centrality {
    * (iteratively removing the highest-betweenness edge splits communities).
    * A stored edge (v, w) scores Σ_s σ_s(v)/σ_s(w) · (1 + δ_s(w)) over the
    * sources whose BFS DAG it lies on; edges on no sampled shortest path
-   * score 0. Same per-level join structure (and cost) as [[betweenness]];
-   * the only extra state is the per-level (v, w, c) frame, cached for its
-   * two readers and released per source.
+   * score 0. Same batched per-level join structure (and cost) as
+   * [[betweenness]]; the only extra state is the per-level (root, v, w, c)
+   * frame, cached for its two readers and released at the end.
    */
   def edgeBetweenness(edges: DataFrame, sources: Seq[Long]): DataFrame = {
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val parts = sources.map { s =>
-      val levels = forward(adj, s)
-      val out = backwardEdges(adj, levels, s)
-      levels.foreach(_.unpersist(blocking = false))
-      out
-    }
-    val all = parts.reduce(_ unionByName _)
-      .groupBy(Graph.SRC, Graph.DST).agg(sum("score").as("edge_betweenness"))
+    val levels = forward(adj, sources)
+    // backwardEdges already aggregated to one row per (src, dst)
+    val all = backwardEdges(adj, levels)
+      .withColumnRenamed("score", "edge_betweenness")
+    levels.foreach(_.unpersist(blocking = false))
     val base = edges.select(col(Graph.SRC), col(Graph.DST))
       .filter(col(Graph.SRC) =!= col(Graph.DST)).distinct()
     val res = base.join(all, Seq(Graph.SRC, Graph.DST), "left")

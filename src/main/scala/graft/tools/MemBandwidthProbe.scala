@@ -19,10 +19,14 @@ package graft.tools
  */
 object MemBandwidthProbe {
 
-  def main(args: Array[String]): Unit = {
-    val levels = args.headOption.getOrElse("2,8,32").split(",").map(_.trim.toInt).toSeq
-    val runs = args.lift(1).map(_.toInt).getOrElse(4)
-    val n = 96 * 1024 * 1024 // 3 arrays × 96M doubles = 2.25 GiB >> LLC
+  /** Interleaved best-of-`runs` triad bandwidth (GB/s) per thread level.
+   * `n` = doubles per array (3 arrays held live); arrays are allocated,
+   * measured, and released inside the call so embedders (graft.Bench runs
+   * this to stamp its scaling JSON with the host's own DRAM curve) don't
+   * carry the working set past it. */
+  def measure(levels: Seq[Int], runs: Int,
+              n: Int = 96 * 1024 * 1024,
+              report: String => Unit = _ => ()): Map[Int, Double] = {
     val a = new Array[Double](n)
     val b = new Array[Double](n)
     val c = new Array[Double](n)
@@ -54,10 +58,16 @@ object MemBandwidthProbe {
     val acc = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector.empty)
     for (r <- 1 to runs; lvl <- levels) {
       val (gbs, wall) = triad(lvl)
-      println(f"MEMBW,$lvl,$r,$gbs%.2f,$wall%.2f")
+      report(f"MEMBW,$lvl,$r,$gbs%.2f,$wall%.2f")
       acc(lvl) = acc(lvl) :+ gbs
     }
-    val best = levels.map(l => l -> acc(l).max).toMap
+    levels.map(l => l -> acc(l).max).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val levels = args.headOption.getOrElse("2,8,32").split(",").map(_.trim.toInt).toSeq
+    val runs = args.lift(1).map(_.toInt).getOrElse(4)
+    val best = measure(levels, runs, report = println)
     def eff(lo: Int, hi: Int): String =
       if (best.contains(lo) && best.contains(hi))
         f"${(best(hi) / best(lo)) / (hi.toDouble / lo)}%.3f"
