@@ -58,7 +58,7 @@ object SparkEntry {
    * (q_ann_lsh_recall / q_ann_ivf_recall): per query, |approx∩brute|/k ≥ 0.6
    * computed IN the plan; the DuckDB oracle asserts every query row comes
    * back recall_ok=true, so a recall regression turns the row red. */
-  private def recallFloor(s: SparkSession, dir: String,
+  private def recallFloor(s: SparkSession, dir: String, floor: Int,
       topk: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -71,7 +71,7 @@ object SparkEntry {
     brute.select("query_id").distinct()
       .join(overlap, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("n"), lit(0L)) >= lit(6L)).as("recall_ok"))
+        (coalesce(col("n"), lit(0L)) >= lit(floor.toLong)).as("recall_ok"))
   }
 
   /** sparse mostly-acyclic digraph for SCC: forward edges (src < dst)
@@ -1125,21 +1125,32 @@ object SparkEntry {
       // oracle asserts every query row comes back with recall_ok=true, so a
       // recall regression turns this row red. Config is scale-parameterized
       // for the 500-vector verify corpus: planes = 4 ≈ log2(N/32), probe
-      // radius 2. The corpus has weak cosine structure (brute top-10 sims
-      // ≈ 0.25–0.4 ⇒ per-plane collision ≈ 0.6), so expected recall@10 is
-      // Σ_{r≤2} C(4,r)·0.6^(4-r)·0.4^r ≈ 0.82 — measured 0.6–0.9 per query
-      // (RecallProbe), floor 0.6. Deterministic: hash-seeded planes, fixed
-      // data.
-      recallFloor(s, dir, (emb, q) =>
-        graft.ann.Ann.lshTopK(emb, q, k = 10, planes = 4, probeRadius = 2))
+      // radius 2, tables = 3 (the Indyk–Motwani amplification knob — the
+      // round-2 ask for a 0.9 floor is met by TABLES, not by widening the
+      // probe radius to near-exhaustive). The corpus has weak cosine
+      // structure (brute top-10 sims ≈ 0.25–0.4 ⇒ per-plane collision
+      // p ≈ 0.6), so per-table capture P₁ = Σ_{r≤2} C(4,r)·p^(4-r)(1-p)^r
+      // ≈ 0.82 and 3-table capture 1-(1-P₁)³ ≈ 0.994 — measured 10/10 on
+      // every query (RecallProbe 4:2:3; tables=1 measured min 0.6,
+      // tables=2 min 0.9). FLOOR 0.9. At production scale the same knobs
+      // stay sublinear: planes = 20, radius 2, 3 tables probes 633 of 1M
+      // buckets per query. Deterministic: hash-seeded plane families,
+      // fixed data.
+      recallFloor(s, dir, floor = 9, (emb, q) =>
+        graft.ann.Ann.lshTopK(emb, q, k = 10, planes = 4, probeRadius = 2,
+          tables = 3))
     }),
     "q_ann_ivf_recall" -> ((s, dir) =>
       // same recall-floor scaffold for the IVF coarse-quantizer path
       // (Ivf.ivfTopK): nlist = 16 lists, nprobe = 4 (25% probed) on the
       // 500-vector verify corpus — measured 0.7–1.0 recall per query
-      // (RecallProbe ivf sweep), floor 0.6. Deterministic: id-ordered
-      // sample, stride init, struct tie-breaks.
-      recallFloor(s, dir, (emb, q) =>
+      // (RecallProbe ivf sweep; nprobe = 6 still bottoms at 0.7), floor
+      // 0.6: IVF has no amplification analog of LSH's tables — recall at
+      // fixed nprobe is a property of how the k-means partition cuts the
+      // weak-structure corpus, and the production recall knob is nprobe
+      // growing with nlist. Deterministic: id-ordered sample, stride
+      // init, struct tie-breaks.
+      recallFloor(s, dir, floor = 6, (emb, q) =>
         graft.ann.Ivf.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4))),
     "q_embed_top_pairs" -> ((s, dir) => {
       val pairs = graft.ann.Ann.bruteForceNearDupPairs(embeddings(s, dir), threshold = -2.0)

@@ -55,11 +55,14 @@ object Ann {
     parts.reduce(_ + _) / 2.0
   }
 
-  /** Sign signature over `planes` hyperplanes: long bucket key. */
-  def planeSignature(vec: Column, planes: Int): Column =
+  /** Sign signature over `planes` hyperplanes: long bucket key. `offset`
+   * selects an independent plane family (hash-seeded by global plane
+   * index), so multi-table LSH draws table t's planes at offset
+   * t·planes. */
+  def planeSignature(vec: Column, planes: Int, offset: Int = 0): Column =
     (0 until planes).map { p =>
       val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") * planeComponent(p, i)),
+        (x, i) => x.cast("double") * planeComponent(offset + p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
@@ -76,28 +79,37 @@ object Ann {
     }
 
   /**
-   * LSH-bucketed approximate top-k. `multiProbe`: also probe the buckets
-   * within `probeRadius` Hamming bit-flips of the query signature — the
-   * recall knob without rebucketing the corpus (Lv et al., "Multi-Probe
-   * LSH"). The scale parameterization: planes ≈ log2(corpus / target
-   * bucket size), so the probed fraction (Σ C(planes,r) / 2^planes)
+   * LSH-bucketed approximate top-k. Two independent recall knobs, neither
+   * rebucketing the corpus per query:
+   *  - `multiProbe`: also probe the buckets within `probeRadius` Hamming
+   *    bit-flips of the query signature (Lv et al., "Multi-Probe LSH");
+   *  - `tables`: OR over `tables` independent plane families (classic
+   *    Indyk–Motwani amplification) — a neighbor missed with probability
+   *    (1−P₁) per table survives all L tables with (1−P₁)^L.
+   * The scale parameterization: planes ≈ log2(corpus / target bucket
+   * size), so each table's probed fraction (Σ C(planes,r) / 2^planes)
    * collapses as the corpus grows — radius 2 at 20 planes touches 211 of
-   * 1M buckets.
+   * 1M buckets, and L tables cost L such probes plus L corpus signature
+   * passes.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-              multiProbe: Boolean = true, probeRadius: Int = 1,
+              multiProbe: Boolean = true, probeRadius: Int = 1, tables: Int = 1,
               id: String = "vec_id", vec: String = "embedding",
               qid: String = "query_id", qvec: String = "q_embedding"): DataFrame = {
-    val c = corpus.withColumn("bkey", planeSignature(col(vec), planes))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val qsig = queries.withColumn("sig", planeSignature(col(qvec), planes))
+    require(tables >= 1, s"tables must be >= 1, got $tables")
     val radius = if (multiProbe) probeRadius else 0
-    val probes = qsig.select(col("*"), explode(array(
-      probeMasks(planes, radius).map(m => col("sig").bitwiseXOR(lit(m))): _*))
-      .as("bkey"))
-    val scored = probes.join(c, "bkey")
-      .select(col(qid), col(id), round(cosine(col(qvec), col(vec)), 9).as("sim"))
-      .distinct()
+    val masks = probeMasks(planes, radius)
+    val scored = (0 until tables).map { t =>
+      val c = corpus.withColumn("bkey",
+        planeSignature(col(vec), planes, offset = t * planes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val qsig = queries.withColumn("sig",
+        planeSignature(col(qvec), planes, offset = t * planes))
+      val probes = qsig.select(col("*"), explode(array(
+        masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("bkey"))
+      probes.join(c, "bkey")
+        .select(col(qid), col(id), round(cosine(col(qvec), col(vec)), 9).as("sim"))
+    }.reduce(_ unionByName _).distinct()
     val w = Window.partitionBy(qid).orderBy(col("sim").desc, col(id))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

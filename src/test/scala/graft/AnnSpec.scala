@@ -84,6 +84,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low") // 4 planes + probe on 50 vecs
   }
 
+  test("LSH multi-table: superset of single-table candidates, higher recall") {
+    val queries = corpus.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = Ann.bruteForceTopK(corpus, queries, k = 3).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ids(t: Int) =
+      Ann.lshTopK(corpus, queries, k = 50, planes = 4, probeRadius = 1, tables = t)
+        .select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = ids(1); val three = ids(3)
+    // table 0 of the 3-table run draws the SAME hash-seeded plane family
+    // as the single-table run, so its candidates survive verbatim
+    assert(one.subsetOf(three), "tables must only add candidates")
+    val r1 = exact.count(one.contains).toDouble / exact.size
+    val r3 = exact.count(three.contains).toDouble / exact.size
+    assert(r3 >= r1, s"3-table recall $r3 below 1-table $r1")
+    assert(r3 >= 0.9, s"3-table recall $r3 below the q_ann_lsh_recall floor")
+  }
+
   test("near-dup pairs: LSH finds what brute force finds at high threshold") {
     // plant a near-duplicate pair
     val planted = corpus.union(Seq(
