@@ -1068,8 +1068,11 @@ object SparkEntry {
       val isNew = col("doc_id") % 5 === 0
       val oldSigs = graft.dedup.MinHash.md5Signatures(docs.filter(!isNew), k = 8, n = 5)
       val newSigs = graft.dedup.MinHash.md5Signatures(docs.filter(isNew), k = 8, n = 5)
+      // k passed explicitly: the store here is an unmaterialized signing
+      // plan, and the probe-derived width would cost a full extra
+      // signature pass (see incrementalNearDupPairs scaladoc)
       graft.dedup.MinHash.incrementalNearDupPairs(oldSigs, newSigs, bands = 4,
-          threshold = 0.5, maxBucket = 1000000)
+          threshold = 0.5, maxBucket = 1000000, k = 8)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
     }),

@@ -84,19 +84,34 @@ object MinHash {
    * Pair orientation: id_a is always from the new batch; for new×new pairs
    * id_a < id_b (emitted once). Banding is complete (a pair with any equal
    * band is a candidate) up to `maxBucket`, as in [[candidatePairs]].
+   *
+   * Pass `k` (the signature width both stores were signed with) whenever
+   * the caller knows it — it always does in the production shape, since it
+   * configured the signing. With `k = 0` the width is derived from a
+   * one-row probe of the store, and when the store is an unmaterialized
+   * signing plan (as in the verify harness, which rebuilds it in-query)
+   * that probe costs a FULL extra signature pass over the old corpus
+   * before the real one (measured: the round-3 q_dedup_incremental ran
+   * 12-13 s cold vs ~6 s with the probe eliminated).
    */
   def incrementalNearDupPairs(oldSigs: DataFrame, newSigs: DataFrame,
                               bands: Int, threshold: Double,
                               id: String = "doc_id",
-                              maxBucket: Int = 2000): DataFrame = {
-    val rowsOpt = bandRows(oldSigs, newSigs, bands)
+                              maxBucket: Int = 2000,
+                              k: Int = 0): DataFrame = {
+    require(k >= 0, s"k must be >= 0 (0 = derive by probe), got $k")
+    val rowsOpt =
+      if (k > 0) {
+        require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+        Some(k / bands)
+      } else bandRows(oldSigs, newSigs, bands)
     if (rowsOpt.isEmpty)
       // both stores empty (first-ever increment with nothing crawled): no
       // pairs by definition — typed empty frame instead of a .head crash
       return newSigs.select(col(id).as("id_a"), col(id).as("id_b"),
         lit(0.0).as("est_jaccard")).limit(0)
     val rows = rowsOpt.get
-    val k = bands * rows
+    val kk = bands * rows
     val all = oldSigs.select(col(id), col("sig"), lit(false).as("is_new"))
       .unionByName(newSigs.select(col(id), col("sig"), lit(true).as("is_new")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -119,12 +134,14 @@ object MinHash {
     val withB = withA.join(all.select(col(id).as("id_b"), col("sig").as("sig_b")), "id_b")
     withB.select(col("id_a"), col("id_b"),
       (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-        x => x)).cast("double") / lit(k)).as("est_jaccard"))
+        x => x)).cast("double") / lit(kk)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** k/bands from the signature schema (both stores must agree on k);
-   * None when both stores are empty. */
+  /** k/bands from a one-row probe (both stores must agree on k);
+   * None when both stores are empty. Fallback path — see the `k`
+   * parameter of [[incrementalNearDupPairs]] for why callers that know
+   * the width should pass it. */
   private def bandRows(oldSigs: DataFrame, newSigs: DataFrame, bands: Int): Option[Int] = {
     // array<...> length is not in the schema; contract: caller guarantees
     // equal k. Derive rows from a one-row probe of the old store.
