@@ -127,7 +127,7 @@ object Bench {
     // h-operator core decomposition (3 rounds, LabelRank-class per round),
     // CCNet unigram-LM scoring (two term aggregates + per-doc mean), and
     // SemDeDup (the q_kmeans model + within-cluster pair mining)
-    "q_wcc_incremental", "q_coreness", "q_lm_score", "q_semdedup",
+    "q_wcc_incremental", "q_coreness", "q_lm_score", "q_lm_terciles", "q_semdedup",
     // crawl edge delta (one full-outer hash join), C4 cleaning (pure
     // array/lambda codegen over the synthesized multi-line corpus), and the
     // PageRank recrawl warm start (5 snapshot rounds + 3 warm supersteps)

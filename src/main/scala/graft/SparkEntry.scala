@@ -652,6 +652,14 @@ object SparkEntry {
       // approxQuantile sketch of a prior run)
       TextAnalysis.unigramLogProb(documents(s, dir), "doc_id", "text",
         headThreshold = -3.401, middleThreshold = -3.42)),
+    "q_lm_terciles" -> ((s, dir) =>
+      // CCNet tercile cuts derived IN-PLAN (nearest-rank order statistics
+      // via two TakeOrdered passes — see unigramLogProbTerciles): the
+      // tested form of the "thresholds come from quantiles of a prior
+      // run" production claim that q_lm_score pins as constants;
+      // exact=false swaps in the approx_percentile sketch for the 10^12
+      // path
+      TextAnalysis.unigramLogProbTerciles(documents(s, dir), "doc_id", "text")),
     "q_dsir" -> ((s, dir) =>
       // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
       // bucket models, target = the English subset, raw = whole corpus;
@@ -1417,10 +1425,11 @@ object SparkEntry {
       SELECT vid, c AS coreness FROM s$rounds"""
   }
 
-  /** Unigram-LM scoring: the model CTE is the corpus term-frequency table;
+  /** Shared unigram-LM scoring CTE stack (ends in `d`: doc_id, n_tokens,
+   * avg_logprob): the model CTE is the corpus term-frequency table;
    * per-token ln rounds at 9, the per-doc mean at 6 — the exact float path
    * of [[TextAnalysis.unigramLogProb]]. */
-  private def lmScoreSql(headThreshold: Double, middleThreshold: Double): String = s"""
+  private def lmScoredCtes: String = s"""
     WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TOK')) AS term
                   FROM documents),
     freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
@@ -1428,12 +1437,34 @@ object SparkEntry {
     sc AS (SELECT doc_id, ROUND(ln(cnt * 1.0 / total), 9) AS lp
            FROM toks JOIN freq USING (term) CROSS JOIN tot),
     d AS (SELECT doc_id, COUNT(*) AS n_tokens,
-                 ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob FROM sc GROUP BY doc_id)
+                 ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob FROM sc GROUP BY doc_id)"""
+
+  private def lmScoreSql(headThreshold: Double, middleThreshold: Double): String = s"""
+    $lmScoredCtes
     SELECT doc_id, n_tokens, avg_logprob,
       CASE WHEN avg_logprob >= $headThreshold THEN 'head'
            WHEN avg_logprob >= $middleThreshold THEN 'middle'
            ELSE 'tail' END AS ppl_bucket
     FROM d"""
+
+  /** In-plan tercile cuts as nearest-rank order statistics — mirrors
+   * [[TextAnalysis.unigramLogProbTerciles]] exact=true: cut k = the k-th
+   * smallest rounded-6 avg_logprob (k = n/3 and 2n/3, floor division), so
+   * both engines compare identical doubles and no interpolation
+   * arithmetic is involved. */
+  private def lmTercilesSql: String = s"""
+    $lmScoredCtes,
+    n AS (SELECT COUNT(*) AS c FROM d),
+    ranked AS (SELECT avg_logprob,
+                      ROW_NUMBER() OVER (ORDER BY avg_logprob) AS rn FROM d),
+    cuts AS (SELECT
+      (SELECT avg_logprob FROM ranked WHERE rn = (SELECT c // 3 FROM n)) AS c33,
+      (SELECT avg_logprob FROM ranked WHERE rn = (SELECT (2 * c) // 3 FROM n)) AS c67)
+    SELECT doc_id, n_tokens, avg_logprob,
+      CASE WHEN avg_logprob <= c33 THEN 'tail'
+           WHEN avg_logprob <= c67 THEN 'middle'
+           ELSE 'head' END AS ppl_bucket
+    FROM d CROSS JOIN cuts"""
 
   /** DSIR importance weights (mirrors `text.Dsir.importanceWeights` at
    * buckets=4096 → 3-hex-char bucket ids, λ=0.5 → λB=2048): hashed
@@ -2815,6 +2846,7 @@ object SparkEntry {
     "q_component_sizes" -> componentSizesSql,
     "q_coreness" -> corenessSql(rounds = 3),
     "q_lm_score" -> lmScoreSql(headThreshold = -3.401, middleThreshold = -3.42),
+    "q_lm_terciles" -> lmTercilesSql,
     "q_dsir" -> dsirSql,
     // the resample wraps the weights CTE with the deterministic Gumbel draw
     "q_dsir_select" -> s"""

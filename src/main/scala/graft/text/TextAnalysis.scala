@@ -165,26 +165,87 @@ object TextAnalysis {
    *
    * Output: (id, n_tokens, avg_logprob, ppl_bucket).
    */
-  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                     headThreshold: Double, middleThreshold: Double): org.apache.spark.sql.DataFrame = {
-    require(headThreshold > middleThreshold,
-      "bucket thresholds must satisfy headThreshold > middleThreshold")
+  /** The scoring half of [[unigramLogProb]]: (idCol, n_tokens,
+   * avg_logprob), avg rounded at 6 over per-token log-probs rounded at
+   * 9. */
+  private def unigramScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(allMatches(lower(col(textCol)), "[^ \\t\\n\\r]+")).as("term"))
     val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = freq.select(sum("cnt").as("total"))
-    val scored = toks
+    toks
       .join(freq, "term")
       .crossJoin(broadcast(total))
       .select(col("id"),
         round(log(col("cnt") * lit(1.0) / col("total")), 9).as("lp"))
-    scored.groupBy("id")
+      .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         round(sum("lp") / count(lit(1)), 6).as("avg_logprob"))
-      .select(col("id").as(idCol), col("n_tokens"), col("avg_logprob"),
+      .withColumnRenamed("id", idCol)
+  }
+
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                     headThreshold: Double, middleThreshold: Double): org.apache.spark.sql.DataFrame = {
+    require(headThreshold > middleThreshold,
+      "bucket thresholds must satisfy headThreshold > middleThreshold")
+    unigramScores(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"),
         when(col("avg_logprob") >= headThreshold, lit("head"))
           .when(col("avg_logprob") >= middleThreshold, lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /**
+   * [[unigramLogProb]] with the tercile thresholds derived IN-PLAN from
+   * the score distribution — the production claim ("CCNet cuts at the
+   * 33rd/67th percentile of a prior run") as a tested path instead of
+   * pinned constants.
+   *
+   * `exact = true` (the verification path): the cuts are NEAREST-RANK
+   * order statistics — the floor(n/3)-th and floor(2n/3)-th smallest
+   * avg_logprob — each computed as max over a value-ordered
+   * `limit(k)` (TakeOrdered: per-partition heaps + a k-row driver merge,
+   * no global sort; deterministic regardless of tie order because the
+   * max of the k smallest VALUES is the k-th order statistic).
+   * Nearest-rank rather than interpolated percentile on purpose: the cut
+   * is then one of the rounded-6 scores itself, so any engine comparing
+   * the same doubles buckets identically — interpolation arithmetic
+   * (a + d·(b−a) vs (1−d)·a + d·b) differs by ulps across engines.
+   * One O(1) driver count supplies n.
+   *
+   * `exact = false` (the 10^12-document path): one
+   * `approx_percentile(score, [0.33, 0.67], 10000)` sketch aggregate —
+   * the [[graft.text.Curation.profile]] `exact=false` discipline; cut
+   * values are then sketch-dependent, so this path is rows-only
+   * checkable.
+   *
+   * Buckets are a function of the score alone (ties share a bucket):
+   * score ≤ c33 → tail, ≤ c67 → middle, else head. Degenerate corpora
+   * (n < 3 docs) have k = 0 ranks → null cuts → every doc lands in
+   * "head".
+   */
+  def unigramLogProbTerciles(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String,
+                             exact: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val scored = unigramScores(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuts =
+      if (exact) {
+        val n = scored.count()
+        def orderStat(k: Long, name: String) =
+          scored.orderBy("avg_logprob").limit(k.toInt)
+            .agg(max("avg_logprob").as(name))
+        orderStat(n / 3, "c33").crossJoin(orderStat(2 * n / 3, "c67"))
+      } else
+        scored.agg(
+          round(approx_percentile(col("avg_logprob"), lit(0.33), lit(10000)), 6).as("c33"),
+          round(approx_percentile(col("avg_logprob"), lit(0.67), lit(10000)), 6).as("c67"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"),
+        when(col("avg_logprob") <= col("c33"), lit("tail"))
+          .when(col("avg_logprob") <= col("c67"), lit("middle"))
+          .otherwise(lit("head")).as("ppl_bucket"))
   }
 
   /**

@@ -40,6 +40,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mid == Map(0L -> "middle", 1L -> "tail"))
   }
 
+  test("unigram LM terciles: nearest-rank cuts split a 6-doc corpus 2/2/2") {
+    // six docs with strictly ordered scores: rarer vocabulary -> lower
+    // avg_logprob; nearest-rank cuts are the 2nd and 4th smallest scores
+    val docs = Seq(
+      (0L, "a a a a"), (1L, "a a a b"), (2L, "a a b b"),
+      (3L, "a b b c"), (4L, "b b c c"), (5L, "c c d d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbTerciles(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(3)))).toMap
+    val byScore = got.toSeq.sortBy(_._2._1).map(_._1)
+    // ascending score order -> tail, tail, middle, middle, head, head
+    val buckets = byScore.map(got(_)._2)
+    assert(buckets == Seq("tail", "tail", "middle", "middle", "head", "head"),
+      s"got $buckets for score order $byScore")
+    // cuts ARE corpus scores: the 2nd and 4th smallest (boundary docs
+    // land at the low side: score <= cut)
+    assert(got(byScore(1))._2 == "tail" && got(byScore(3))._2 == "middle")
+
+    // sketch path (10^12 shape): same schema, same row count, buckets
+    // still monotone in the score
+    val approx = TextAnalysis.unigramLogProbTerciles(docs, "doc_id", "text",
+        exact = false)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(3)))).toMap
+    assert(approx.size == 6)
+    val rankOf = Map("tail" -> 0, "middle" -> 1, "head" -> 2)
+    val ordered = approx.toSeq.sortBy(_._2._1).map(r => rankOf(r._2._2))
+    assert(ordered == ordered.sorted, s"sketch buckets not monotone: $ordered")
+  }
+
   test("language id picks marker-dominant language; CJK shortcut; und fallback") {
     val df = Seq(
       ("the cat and the dog is here", "en"),
