@@ -624,13 +624,16 @@ object SparkEntry {
       // 17th doc gains a lorem-ipsum line, every 23rd a code line. The REAL
       // operator (Curation.c4Stats) then runs identically in both engines.
       val toks = regexp_extract_all(col("text"), lit(TOK), lit(0))
-      val nLines = ceil(size(toks) / lit(8.0)).cast("int")
       def term(i: Column): Column = {
         val m = (col("doc_id") + i) % 4
         when(m === 0, ".").when(m === 1, "!").when(m === 2, "").otherwise("?")
       }
-      val lines = transform(sequence(lit(0), nLines - 1), i =>
-        concat(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))), term(i)))
+      // tokenize once via the single-element-transform binding (the
+      // wordShingles device): slicing the tokenizer EXPRESSION inside the
+      // line lambda would re-run the regex per synthesized line
+      val lines = element_at(transform(array(toks), ts =>
+        transform(sequence(lit(0), ceil(size(ts) / lit(8.0)).cast("int") - 1), i =>
+          concat(concat_ws(" ", slice(ts, i * 8 + 1, lit(8))), term(i)))), 1)
       val lorem = when(col("doc_id") % 17 === 0,
         array(lit("lorem ipsum dolor sit amet qui minim veniam culpa.")))
         .otherwise(array().cast("array<string>"))
