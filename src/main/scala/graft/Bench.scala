@@ -87,6 +87,9 @@ object Bench {
     "q_triangles", "q_triad_census", "q_link_predict", "q_ktruss",
     "q_label_prop_pruned_full", "q_bfs",
     "q_sssp", "q_out_degree", "q_harmonic", "q_random_walk", "q_walk_pairs",
+    // round-4: Brandes batched across sources (root rides both passes —
+    // jobs per BFS level O(1) in the source count); benched to record it
+    "q_betweenness", "q_edge_betweenness",
     "q_neg_sample", "q_khop_sample",
     "q_mis", "q_matching", "q_msf",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",
