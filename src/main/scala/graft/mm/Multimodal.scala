@@ -27,15 +27,25 @@ final case class AudioFeatures(
     rms: Double,
     zcr: Double)
 
+final case class VideoFeatures(
+    media_id: Long,
+    width: Int, height: Int,
+    fps: Double,
+    n_frames: Int,
+    duration_ms: Long,
+    mean_luma: Double)
+
 /**
  * Multimodal-column plumbing: schema, batch shape, partitioning and the
  * decode/feature/resize/frame-sample operator signatures are real and
  * tested. Image decode is REAL for the formats the JDK ships codecs for
- * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external jars), and audio
- * decode is REAL for WAV/PCM (`javax.sound.sampled`, also JDK-shipped);
- * `raw8`/`rawpcm8` stay as the deterministic test formats, and compressed
- * audio + video codecs remain clearly-marked STUBs (no codec libraries in
- * this container). The
+ * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external jars), audio
+ * decode is REAL for WAV/PCM (`javax.sound.sampled`, also JDK-shipped),
+ * and video demux+decode is REAL for YUV4MPEG2 (`y4m` — uncompressed
+ * planar frames behind plain-ASCII headers, parsed byte-for-byte in
+ * [[decodeY4m]]); `raw8`/`rawpcm8` stay as the deterministic test
+ * formats, and COMPRESSED audio/video codecs (mp3/aac, h264/vp9) remain
+ * clearly-marked STUBs (no codec libraries in this container). The
  * Spark-side contract (mapPartitions over batches, metadata passthrough,
  * deterministic output) is identical across all of them.
  */
@@ -116,6 +126,83 @@ object Multimodal {
     case other =>
       // ---- STUB: no codec for compressed audio in the container ----
       throw new UnsupportedOperationException(s"no audio decoder for format=$other")
+  }
+
+  /** Y4M stream header: dimensions, frame rate, colorspace, frame count. */
+  final case class Y4mInfo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                           colorspace: String, nFrames: Int) {
+    def durationMs: Long =
+      if (fpsNum <= 0) 0L else nFrames.toLong * 1000L * fpsDen / fpsNum
+  }
+
+  /** REAL video decode for YUV4MPEG2 ("y4m") — the codec-free video
+   * container (uncompressed planar YCbCr behind plain-ASCII headers;
+   * ffmpeg's interchange format), so the video path is pure byte parsing
+   * with no codec libraries: `YUV4MPEG2 W.. H.. F<n>:<d> .. C<cs>\n`,
+   * then per frame `FRAME[ params]\n` + planar data (luma first).
+   * Returns the stream info and every frame's LUMA plane (chroma is
+   * skipped, same contract as [[decodeLuma]]). Supported colorspaces:
+   * C420* (all 4:2:0 siting variants share the byte layout), C422, C444,
+   * Cmono. Compressed video (h264/vp9/av1 in mp4/webm) remains the honest
+   * stub in [[decodeVideo]] — no codecs in this container. */
+  def decodeY4m(payload: Array[Byte], mediaId: Long): (Y4mInfo, IndexedSeq[Decoded]) = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length, s"media_id=$mediaId: unterminated y4m header")
+      i
+    }
+    val h0 = lineEnd(0)
+    val header = new String(payload, 0, h0, java.nio.charset.StandardCharsets.US_ASCII)
+    val parts = header.split(' ')
+    require(parts.head == "YUV4MPEG2", s"media_id=$mediaId: not a y4m stream")
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420jpeg"
+    parts.tail.foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'F' =>
+          val r = p.substring(1).split(':'); fn = r(0).toInt; fd = r(1).toInt
+        case 'C' => cs = p.substring(1)
+        case _ => () // I (interlacing), A (aspect), X (comment): luma-irrelevant
+      }
+    }
+    require(w > 0 && h > 0, s"media_id=$mediaId: y4m header missing W/H")
+    val chromaBytes =
+      if (cs.startsWith("420")) { // 2 quarter-size planes
+        require(w % 2 == 0 && h % 2 == 0,
+          s"media_id=$mediaId: C420 needs even dimensions, got ${w}x$h")
+        w * h / 2
+      } else if (cs.startsWith("422")) w * h
+      else if (cs.startsWith("444")) 2 * w * h
+      else if (cs == "mono") 0
+      else throw new UnsupportedOperationException(
+        s"media_id=$mediaId: unsupported y4m colorspace C$cs")
+    val frames = IndexedSeq.newBuilder[Decoded]
+    var pos = h0 + 1
+    var n = 0
+    while (pos < payload.length) {
+      val fe = lineEnd(pos)
+      val marker = new String(payload, pos, fe - pos, java.nio.charset.StandardCharsets.US_ASCII)
+      require(marker.startsWith("FRAME"), s"media_id=$mediaId: bad frame marker at $pos")
+      val dataStart = fe + 1
+      require(dataStart + w * h + chromaBytes <= payload.length,
+        s"media_id=$mediaId: truncated y4m frame $n")
+      frames += Decoded(
+        java.util.Arrays.copyOfRange(payload, dataStart, dataStart + w * h), w, h)
+      pos = dataStart + w * h + chromaBytes
+      n += 1
+    }
+    (Y4mInfo(w, h, fn, fd, cs, n), frames.result())
+  }
+
+  /** Demuxed video frames (luma planes) + stream info: REAL for y4m via
+   * [[decodeY4m]]; every compressed container stays a loud stub. */
+  def decodeVideo(m: MediaRow): (Y4mInfo, IndexedSeq[Decoded]) = m.format match {
+    case "y4m" => decodeY4m(m.payload, m.media_id)
+    case other =>
+      // ---- STUB: no codec for compressed video in the container ----
+      throw new UnsupportedOperationException(s"no video decoder for format=$other")
   }
 
   /** Deterministic fake corpus for tests: payload bytes derived from id. */
@@ -216,23 +303,87 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample stub for video rows: emits every k-th "frame" (fixed-size
-   * payload slice) as an image row — the fan-out/partitioning pattern of
-   * real frame extraction. */
-  def sampleFrames(media: Dataset[MediaRow], everyK: Int, frameBytes: Int): Dataset[MediaRow] = {
+  /** Frame-sample for video rows: emits every k-th frame as a raw8 image
+   * row (decoded luma plane, true header dimensions) — REAL demux+decode
+   * for `y4m` via [[decodeY4m]]; other formats keep the fixed-size
+   * payload-slice stub (`frameBytes`), which exercises the same
+   * fan-out/partitioning shape. Downstream ops ([[imageFeatures]],
+   * [[resize]]) consume the emitted rows unchanged. */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int,
+                   frameBytes: Int = 0): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val k = math.max(1, everyK)
     media.flatMap { m =>
-      if (m.kind != "video" || frameBytes <= 0) Iterator.empty
+      if (m.kind != "video") Iterator.empty
+      else if (m.format == "y4m") {
+        val (info, frames) = decodeY4m(m.payload, m.media_id)
+        (0 until info.nFrames by k).iterator.map { f =>
+          MediaRow(m.media_id * 1000000L + f, "image", frames(f).pixels, "raw8",
+            info.width, info.height, 0L)
+        }
+      } else if (frameBytes <= 0) Iterator.empty
       else {
         val nFrames = m.payload.length / frameBytes
-        (0 until nFrames by math.max(1, everyK)).iterator.map { f =>
+        (0 until nFrames by k).iterator.map { f =>
           // ---- STUB: real impl = container demux + keyframe decode ----
           val slice = java.util.Arrays.copyOfRange(m.payload, f * frameBytes, (f + 1) * frameBytes)
           MediaRow(m.media_id * 1000000L + f, "image", slice, "raw8",
             m.width, m.height, 0L)
         }
       }
+    }
+  }
+
+  /** Per-clip stream stats from the REAL y4m decode — the metadata pass a
+   * video curation pipeline runs before any sampling decision (drop
+   * sub-second clips, bucket by fps, budget by duration). Same
+   * mapPartitions batch shape as [[imageFeatures]]. */
+  def videoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(m => m.kind == "video" && m.format == "y4m").map { m =>
+        val (info, frames) = decodeY4m(m.payload, m.media_id)
+        var s = 0L; var n = 0L
+        frames.foreach { fr =>
+          var i = 0
+          while (i < fr.pixels.length) { s += (fr.pixels(i) & 0xff); i += 1 }
+          n += fr.pixels.length
+        }
+        VideoFeatures(m.media_id, info.width, info.height,
+          info.fpsNum.toDouble / info.fpsDen, info.nFrames, info.durationMs,
+          if (n == 0) 0.0 else s.toDouble / n)
+      }
+    }
+  }
+
+  /** Deterministic synthetic y4m corpus: tiny C420 clips with
+   * hash-derived luma and zeroed chroma — real container bytes, so the
+   * REAL y4m parser is what tests exercise. */
+  def syntheticY4m(spark: SparkSession, n: Long, seed: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val h = graft.gen.GraphGen.mix64(seed, i)
+      val w = 4 + 2 * Math.floorMod(h, 5L).toInt          // 4..12, even
+      val ht = 4 + 2 * Math.floorMod(h >>> 8, 4L).toInt   // 4..10, even
+      val frames = 2 + Math.floorMod(h >>> 16, 4L).toInt  // 2..5
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$ht F30:1 Ip A1:1 C420jpeg\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var f = 0
+      while (f < frames) {
+        bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        var p = 0
+        while (p < w * ht) {
+          bos.write((graft.gen.GraphGen.mix64(seed, i, (f.toLong << 32) | p.toLong) & 0xff).toInt)
+          p += 1
+        }
+        bos.write(new Array[Byte](w * ht / 2)) // zeroed chroma planes
+        f += 1
+      }
+      MediaRow(i, "video", bos.toByteArray, "y4m", w, ht,
+        frames.toLong * 1000L / 30L)
     }
   }
 }

@@ -185,6 +185,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(g.rms - math.sqrt((0.0 + math.pow(127 / 128.0, 2) + 1.0) / 3)) < 1e-7)
   }
 
+  test("multimodal: REAL y4m video demux+decode matches a hand-built stream") {
+    import graft.mm.MediaRow
+    // hand-built YUV4MPEG2 stream: 4x2 C420, 3 frames of known luma +
+    // nonzero chroma (which the luma decode must SKIP, not absorb)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W4 H2 F30:1 Ip A1:1 C420jpeg\n".getBytes(ascii))
+    val lumas = Array(
+      Array[Int](0, 10, 20, 30, 40, 50, 60, 70),
+      Array[Int](5, 15, 25, 35, 45, 55, 65, 75),
+      Array[Int](200, 201, 202, 203, 204, 205, 206, 207))
+    lumas.foreach { fr =>
+      bos.write("FRAME\n".getBytes(ascii))
+      fr.foreach(bos.write)
+      bos.write(Array[Byte](99, 98, 97, 96)) // 2+2 chroma bytes (w*h/2)
+    }
+    val (info, frames) = Multimodal.decodeY4m(bos.toByteArray, mediaId = 1L)
+    assert(info.width == 4 && info.height == 2 && info.nFrames == 3)
+    assert(info.fpsNum == 30 && info.fpsDen == 1 && info.durationMs == 100L)
+    assert(frames.map(_.pixels.toSeq) == lumas.toSeq.map(_.map(_.toByte).toSeq))
+
+    // frame sampling emits every k-th decoded luma plane as a raw8 image
+    // row with the HEADER dimensions; imageFeatures consumes it unchanged
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(MediaRow(3L, "video", bos.toByteArray, "y4m", 0, 0, 0L)).toDS()
+    val sampled = Multimodal.sampleFrames(media, everyK = 2).collect()
+      .sortBy(_.media_id)
+    assert(sampled.map(_.media_id).toSeq == Seq(3000000L, 3000002L))
+    assert(sampled.forall(m => m.width == 4 && m.height == 2 && m.format == "raw8"))
+    val feats = Multimodal.imageFeatures(
+        Multimodal.sampleFrames(media, everyK = 2)).collect()
+      .sortBy(_.media_id)
+    assert(math.abs(feats(0).mean_luma - lumas(0).sum / 8.0) < 1e-12)
+    assert(math.abs(feats(1).mean_luma - lumas(2).sum / 8.0) < 1e-12)
+
+    // per-clip stream stats over the whole synthetic corpus (real parser
+    // on every row) + mono colorspace (no chroma to skip)
+    val corpus = Multimodal.syntheticY4m(spark, 12, seed = 5).cache()
+    val vf = Multimodal.videoFeatures(corpus).collect()
+    assert(vf.length == 12)
+    vf.foreach { v =>
+      assert(v.fps == 30.0 && v.n_frames >= 2 && v.n_frames <= 5)
+      assert(v.mean_luma >= 0 && v.mean_luma <= 255)
+      assert(v.duration_ms == v.n_frames * 1000L / 30L)
+    }
+    val mono = ("YUV4MPEG2 W2 H2 Cmono\nFRAME\n".getBytes(ascii)
+      ++ Array[Byte](1, 2, 3, 4))
+    val (mi, mf) = Multimodal.decodeY4m(mono, mediaId = 4L)
+    assert(mi.colorspace == "mono" && mi.nFrames == 1 && mi.fpsNum == 25)
+    assert(mf(0).pixels.toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("assortativity: star is maximally disassortative; matches driver-side Pearson") {
     val star = graft.gen.GraphGen.star(spark, 6)
     val r = Graph.assortativity(star).collect()(0).getDouble(0)
