@@ -55,9 +55,11 @@ object SparkEntry {
       .filter(col("src") =!= col("dst")).distinct()
 
   /** Shared recall-floor scaffold for the approximate-ANN rows
-   * (q_ann_lsh_recall / q_ann_ivf_recall): per query, |approx∩brute|/k ≥ 0.6
-   * computed IN the plan; the DuckDB oracle asserts every query row comes
-   * back recall_ok=true, so a recall regression turns the row red. */
+   * (q_ann_lsh_recall / q_ann_ivf_recall): per query, |approx∩brute|/k ≥
+   * floor/k computed IN the plan; the DuckDB oracle asserts every query
+   * row comes back recall_ok=true, so a recall regression turns the row
+   * red. Floors: LSH 0.9 (multi-table config), IVF 0.6 — rationale at the
+   * call sites. */
   private def recallFloor(s: SparkSession, dir: String, floor: Int,
       topk: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = embeddings(s, dir)
