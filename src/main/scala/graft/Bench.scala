@@ -101,7 +101,7 @@ object Bench {
     // like the q_token_stats family; q_latest_snapshot adds one max_by
     // aggregation, q_decontaminate a broadcast semi-join, and
     // q_dedup_paragraphs the full explode → min(struct) → reassemble chain
-    "q_pii", "q_url_norm", "q_blocklist", "q_length_profile", "q_stratified_sample", "q_lang_mix",
+    "q_pii", "q_url_norm", "q_redirect_resolve", "q_blocklist", "q_length_profile", "q_stratified_sample", "q_lang_mix",
     "q_latest_snapshot",
     "q_decontaminate", "q_dedup_paragraphs",
     // Lee-et-al substring dedup (window census + token anti-join rebuild)

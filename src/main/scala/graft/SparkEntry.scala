@@ -983,6 +983,26 @@ object SparkEntry {
       documents(s, dir).select(id, graft.text.UrlOps.normalizeUrl(
         concat(lit("https://"), host, port, path, frag)).as("url_norm"))
     }),
+    "q_redirect_resolve" -> ((s, dir) => {
+      // redirect-chain canonicalization by pointer doubling: chains built
+      // arithmetically along doc_id blocks of 4 (u0→u1→u2→u3), plus a
+      // planted 2-cycle u3↔u7 — so blocks 0 and 1 feed a crawler trap
+      // (resolved=false, canonical (url, url, -1)) while every other
+      // block terminates at its u{4k+3}. The REAL operator runs here; the
+      // oracle walks the same chains with a bounded recursive CTE.
+      val spark = s
+      import spark.implicits._
+      val ids = documents(s, dir).select(col("doc_id"))
+      val urls = ids.select(concat(lit("u"), col("doc_id")).as("url"))
+      val chain = ids.filter(col("doc_id") % 4 < 3)
+        .select(concat(lit("u"), col("doc_id")).as("src_url"),
+          concat(lit("u"), col("doc_id") + 1).as("dst_url"))
+      val cyc = Seq(("u3", "u7"), ("u7", "u3")).toDF("src_url", "dst_url")
+      graft.text.UrlOps.resolveRedirects(chain.unionByName(cyc), urls,
+          doublings = 5)
+        .select(col("url"), col("final_url"),
+          col("hops").cast("long").as("hops"), col("resolved"))
+    }),
     "q_length_profile" -> ((s, dir) =>
       // per-source token-length distribution: the diagnostic behind every
       // length-filter threshold; exact interpolated quantiles (DuckDB
@@ -3188,6 +3208,31 @@ object SparkEntry {
         || CASE WHEN doc_id % 7 = 0 THEN ''
                 ELSE '/D/' || CAST(doc_id AS VARCHAR) END AS url_norm
       FROM documents""",
+    // bounded recursive walk (cap 31 = the 2^5−1 reach of doublings=5;
+    // synthesized chains are far shorter): last position per url via
+    // arg_max(hops); a last position with an outgoing redirect = cycle →
+    // canonical (url, url, -1, false), matching resolveRedirects
+    "q_redirect_resolve" -> """
+      WITH RECURSIVE
+      urls AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+      r0 AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS u,
+               'u' || CAST(doc_id + 1 AS VARCHAR) AS v
+        FROM documents WHERE doc_id % 4 < 3
+        UNION ALL SELECT 'u3', 'u7' UNION ALL SELECT 'u7', 'u3'),
+      nxt AS (SELECT u, MIN(v) AS v FROM r0 GROUP BY u),
+      walk(url, cur, hops) AS (
+        SELECT url, url, 0 FROM urls
+        UNION ALL
+        SELECT w.url, n.v, w.hops + 1
+        FROM walk w JOIN nxt n ON w.cur = n.u WHERE w.hops < 31),
+      last AS (SELECT url, ARG_MAX(cur, hops) AS cur, MAX(hops) AS hops
+               FROM walk GROUP BY url)
+      SELECT l.url,
+        CASE WHEN n.u IS NULL THEN l.cur ELSE l.url END AS final_url,
+        CAST(CASE WHEN n.u IS NULL THEN l.hops ELSE -1 END AS BIGINT) AS hops,
+        n.u IS NULL AS resolved
+      FROM last l LEFT JOIN nxt n ON l.cur = n.u""",
     "q_latest_snapshot" -> """
       WITH pages AS (SELECT doc_id, doc_id % 100 AS mm,
                             (doc_id * 13) % 500 AS warc_ts FROM documents),

@@ -79,6 +79,66 @@ object UrlOps {
   }
 
   /**
+   * Redirect-chain resolution — the crawl-canonicalization step between
+   * [[normalizeUrl]] and dedup/link analysis: a url that 301s through
+   * `a → b → c` must be credited to `c` everywhere (link graph, snapshot
+   * selection, dedup keeper) or the same page fragments into chain-length
+   * many identities.
+   *
+   * Spark-first shape: POINTER DOUBLING over the redirect forest (the WCC
+   * pointer-jumping device). The jump table starts as the 1-hop edges and
+   * composes with itself each round (span doubles), while the per-url
+   * state applies the current jump table — after `doublings` rounds every
+   * acyclic chain of length ≤ 2^doublings − 1 is fully resolved in
+   * O(doublings) key-partitioned hash joins, never O(chain) sequential
+   * joins and never a driver-side walk. State stays O(urls) rows
+   * throughout; each round cuts lineage (the superstep barrier).
+   *
+   * Redirect input is made functional deterministically (min dst per
+   * src). Cycles — crawler traps like `a → b → a`, including urls whose
+   * chain merely ENTERS a cycle downstream — never reach a terminal:
+   * any url whose final position still has an outgoing redirect reports
+   * `(url, url, -1, false)` (canonical form, engine-independent).
+   * Resolved rows report the true terminal and exact hop count.
+   *
+   * Output: (url, final_url, hops, resolved) for every row of `urls`;
+   * urls with no redirect resolve to themselves with hops 0.
+   */
+  def resolveRedirects(redirects: DataFrame, urls: DataFrame,
+                       doublings: Int = 5,
+                       srcCol: String = "src_url", dstCol: String = "dst_url",
+                       urlCol: String = "url"): DataFrame = {
+    require(doublings >= 1, s"doublings must be >= 1, got $doublings")
+    val nxt0 = redirects.groupBy(col(srcCol).as("u"))
+      .agg(min(col(dstCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var jump = nxt0.withColumn("span", lit(1L))
+    var state = urls.select(col(urlCol).as("url"))
+      .withColumn("cur", col("url")).withColumn("hops", lit(0L))
+    for (_ <- 1 to doublings) {
+      state = state
+        .join(jump.select(col("u").as("cur"), col("v"), col("span")), Seq("cur"), "left")
+        .select(col("url"), coalesce(col("v"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("span"), lit(0L))).as("hops"))
+        .transform(graft.core.Lineage.cut)
+      jump = jump.as("a")
+        .join(jump.select(col("u").as("v2u"), col("v").as("vv"),
+          col("span").as("s2")), col("a.v") === col("v2u"), "left")
+        .select(col("a.u").as("u"), coalesce(col("vv"), col("a.v")).as("v"),
+          (col("a.span") + coalesce(col("s2"), lit(0L))).as("span"))
+        .transform(graft.core.Lineage.cut)
+    }
+    val out = state
+      .join(nxt0.select(col("u").as("cur"), lit(true).as("__more")), Seq("cur"), "left")
+      .select(col("url"),
+        when(col("__more").isNull, col("cur")).otherwise(col("url")).as("final_url"),
+        when(col("__more").isNull, col("hops")).otherwise(lit(-1L)).as("hops"),
+        col("__more").isNull.as("resolved"))
+    nxt0.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * One row per normalized url: the row with the greatest `tsCol`, ties
    * broken by greatest `idCol`. Output: `url_norm` plus every original
    * column of the winning row.

@@ -151,6 +151,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("resolveRedirects: chains, branches into cycles, long-chain doubling") {
+    // a→b→c→d (terminal), e→c (merging chain), x↔y (2-cycle), z→x (enters
+    // the cycle), lone urls resolve to themselves
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("e", "c"),
+      ("x", "y"), ("y", "x"), ("z", "x")).toDF("src_url", "dst_url")
+    val urls = Seq("a", "b", "c", "d", "e", "x", "y", "z", "solo").toDF("url")
+    val got = UrlOps.resolveRedirects(edges, urls, doublings = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("a") == (("d", 3L, true)))
+    assert(got("b") == (("d", 2L, true)))
+    assert(got("c") == (("d", 1L, true)))
+    assert(got("d") == (("d", 0L, true)))
+    assert(got("e") == (("d", 2L, true)))
+    assert(got("solo") == (("solo", 0L, true)))
+    // cycle members and anyone whose chain enters one: canonical unresolved
+    Seq("x", "y", "z").foreach(u => assert(got(u) == ((u, -1L, false)), u))
+
+    // a 20-hop chain: doublings=5 (reach 2^5-1 = 31) resolves every
+    // position with its TRUE distance to the terminal (doubling only adds
+    // spans where a jump exists, so hops are exact, not walked-rounds)
+    val long = (0 until 20).map(i => (s"n$i", s"n${i + 1}")).toDF("src_url", "dst_url")
+    val lu = (0 to 20).map(i => s"n$i").toDF("url")
+    val deep = UrlOps.resolveRedirects(long, lu, doublings = 5)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    (0 to 20).foreach { i =>
+      assert(deep(s"n$i") == (("n20", (20 - i).toLong)), s"n$i")
+    }
+    // duplicate src edges: min(dst) wins deterministically
+    val dup = Seq(("p", "q"), ("p", "b2")).toDF("src_url", "dst_url")
+    val pd = UrlOps.resolveRedirects(dup, Seq("p").toDF("url"), doublings = 2)
+      .collect()(0)
+    assert(pd.getString(1) == "b2" && pd.getLong(2) == 1L)
+  }
+
   test("suffixBlock: label-boundary suffixes, longest match, case folding") {
     val hosts = Seq(
       (1L, "A.B.Example.ORG"),   // blocked by example.org AND b.example.org
