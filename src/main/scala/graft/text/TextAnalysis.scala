@@ -233,6 +233,9 @@ object TextAnalysis {
     val cuts =
       if (exact) {
         val n = scored.count()
+        require(2 * n / 3 <= Int.MaxValue,
+          s"exact terciles rank past Int.MaxValue at n=$n docs — " +
+            "use exact = false (the approx_percentile sketch path) at this scale")
         def orderStat(k: Long, name: String) =
           scored.orderBy("avg_logprob").limit(k.toInt)
             .agg(max("avg_logprob").as(name))
