@@ -164,19 +164,14 @@ object SparkEntry {
     "q_spam_mass" -> ((s, dir) => {
       // TrustRank spam mass (Gyöngyi et al., VLDB 2004): relative mass
       // (PR − TR)/PR where TR = PageRank personalized on a trusted seed
-      // set (the 5 smallest ids, exactly q_ppr's seeds). Pure composition
-      // of the two oracle-checked rank jobs; both sides round to 6 BEFORE
-      // the ratio so the division sees bit-identical inputs cross-engine.
+      // set (the 5 smallest ids, exactly q_ppr's seeds). PageRank.spamMass
+      // runs both oracle-checked rank loops over ONE shared adjacency/degree
+      // init; both sides round to 6 BEFORE the ratio so the division sees
+      // bit-identical inputs cross-engine.
       val e = eMOD(s, dir)
       val seeds = Graph.vertices(e).orderBy(col("vid")).limit(5)
         .collect().map(_.getLong(0)).toSeq
-      val pr = graft.alg.PageRank.run(e).ranks
-        .select(col("vid"), round(col("rank"), 6).as("pr"))
-      val tr = graft.alg.PageRank.personalized(e, seeds).ranks
-        .select(col("vid"), round(col("rank"), 6).as("tr"))
-      pr.join(tr, Seq("vid"))
-        .select(col("vid"), col("pr"), col("tr"),
-          round((col("pr") - col("tr")) / col("pr"), 6).as("spam_mass"))
+      graft.alg.PageRank.spamMass(e, seeds)
     }),
     "q_hits" -> ((s, dir) => {
       val r = graft.alg.Hits.run(eMOD(s, dir))

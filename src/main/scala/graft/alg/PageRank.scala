@@ -32,6 +32,39 @@ object PageRank {
 
   final case class Result(ranks: DataFrame, metrics: Seq[graft.core.StepMetrics])
 
+  /**
+   * Shared init for the rank family: chunked adjacency, vertex set, and
+   * out-degree frame, each persisted and forced (Totem's `time_init` /
+   * `time_par` split — partition build is init-time, not alg_exec). Composite
+   * metrics that run SEVERAL rank loops over the SAME graph ([[spamMass]]:
+   * global + personalized) build this once instead of paying the O(E)
+   * adjacency build per loop.
+   */
+  private[graft] final case class RankCtx(
+      adj: DataFrame, verts: DataFrame, degs: DataFrame, v: Long, e: Long) {
+    def release(): Unit = {
+      adj.unpersist(blocking = false)
+      degs.unpersist(blocking = false)
+      verts.unpersist(blocking = false)
+    }
+  }
+
+  private[graft] def buildCtx(edges: DataFrame,
+                              chunkSize: Int = Adjacency.DefaultChunk): RankCtx = {
+    val adj = Adjacency.build(edges, chunkSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count() // force: partition build is init-time (Totem's time_par), not alg_exec
+    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verts.count()
+    val e = edges.count()
+    // deg per vertex for the pre-division (0 for pure sinks)
+    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
+      .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    degs.count() // init-time, not alg_exec
+    RankCtx(adj, verts, degs, v, e)
+  }
+
   def run(edges: DataFrame,
           rounds: Int = 5,
           damping: Double = 0.85,
@@ -39,20 +72,19 @@ object PageRank {
           resume: Boolean = false,
           chunkSize: Int = Adjacency.DefaultChunk,
           verbose: Boolean = false): Result = {
-    val spark = edges.sparkSession
-    val adj = Adjacency.build(edges, chunkSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count() // force: partition build is init-time (Totem's time_par), not alg_exec
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val v = verts.count()
-    val e = edges.count()
-    val base = (1.0 - damping) / v
+    val ctx = buildCtx(edges, chunkSize)
+    try runWithCtx(ctx, rounds, damping, checkpointDir, resume, verbose)
+    finally ctx.release()
+  }
 
-    // deg per vertex for the pre-division (0 for pure sinks)
-    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
-      .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    degs.count() // init-time, not alg_exec
+  private[graft] def runWithCtx(ctx: RankCtx,
+                                rounds: Int = 5,
+                                damping: Double = 0.85,
+                                checkpointDir: Option[String] = None,
+                                resume: Boolean = false,
+                                verbose: Boolean = false): Result = {
+    import ctx.{adj, verts, degs, v, e}
+    val base = (1.0 - damping) / v
 
     val init = verts.select(col(Graph.VID), lit(1.0 / v).as("stored"))
 
@@ -82,8 +114,6 @@ object PageRank {
       StepResult(next, edgesTraversed = e, converged = superstep == rounds)
     }
 
-    adj.unpersist(blocking = false); degs.unpersist(blocking = false)
-    verts.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("stored").as("rank")), outcome.metrics)
   }
 
@@ -167,22 +197,29 @@ object PageRank {
                    checkpointDir: Option[String] = None,
                    resume: Boolean = false,
                    verbose: Boolean = false): Result = {
+    val ctx = buildCtx(edges)
+    try personalizedWithCtx(ctx, seeds, rounds, damping, checkpointDir, resume, verbose)
+    finally ctx.release()
+  }
+
+  private[graft] def personalizedWithCtx(ctx: RankCtx,
+                                         seeds: Seq[Long],
+                                         rounds: Int = 5,
+                                         damping: Double = 0.85,
+                                         checkpointDir: Option[String] = None,
+                                         resume: Boolean = false,
+                                         verbose: Boolean = false): Result = {
     require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    verts.count()
-    val e = edges.count()
+    import ctx.{adj, e}
     val seedMass = 1.0 / seeds.size
 
-    // (vid, deg, seed): seed = restart mass — evaluated once here, derived
-    // columns below read the persisted frame
-    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
-      .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"),
+    // (vid, deg, seed): seed = restart mass — a narrow projection over the
+    // shared persisted degree frame (the seed column re-evaluates per read,
+    // an O(1) literal-set probe on cached rows)
+    val degs = ctx.degs
+      .select(col(Graph.VID), col("deg"),
         when(col(Graph.VID).isInCollection(seeds), lit(seedMass))
           .otherwise(lit(0.0)).as("seed"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    degs.count()
 
     // stored = value/deg; init value = seed(v)
     val init = degs.select(col(Graph.VID),
@@ -207,9 +244,52 @@ object PageRank {
           col("value"))
       StepResult(next, edgesTraversed = e, converged = superstep == rounds)
     }
-    adj.unpersist(blocking = false); degs.unpersist(blocking = false)
-    verts.unpersist(blocking = false)
     Result(outcome.state.select(col(Graph.VID), col("value").as("rank")), outcome.metrics)
+  }
+
+  /**
+   * TrustRank spam mass (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web
+   * Spam with TrustRank", VLDB 2004; relative mass per Gyöngyi et al.,
+   * "Link Spam Detection Based on Mass Estimation", VLDB 2006): for each
+   * page, `spam_mass = (PR − TR) / PR` where PR is the global rank ([[run]],
+   * reference-exact 5-round semantics) and TR the rank personalized on the
+   * trusted seed set ([[personalized]]) — the fraction of a page's rank NOT
+   * explainable by trusted sources. A page whose mass approaches 1 earns
+   * its rank from untrusted (likely spam-farm) links.
+   *
+   * One shared init: the chunked adjacency, vertex set, and degree frame are
+   * built and persisted ONCE ([[buildCtx]]) and both superstep loops read
+   * them — running the two loops separately pays the O(E) adjacency build
+   * and three init passes twice for identical frames. The arithmetic is
+   * bit-identical to composing [[run]] and [[personalized]] by hand (same
+   * persisted inputs, same operation order).
+   *
+   * Both ranks are rounded to `roundTo` decimals BEFORE the ratio so a
+   * cross-engine oracle dividing the same rounded values sees bit-identical
+   * numerators and denominators (the Dsir rounding discipline).
+   *
+   * @return (vid, pr, tr, spam_mass), ranks rounded to `roundTo`.
+   */
+  def spamMass(edges: DataFrame,
+               seeds: Seq[Long],
+               rounds: Int = 5,
+               damping: Double = 0.85,
+               roundTo: Int = 6): DataFrame = {
+    val ctx = buildCtx(edges)
+    try {
+      val pr = runWithCtx(ctx, rounds, damping).ranks
+        .select(col(Graph.VID), round(col("rank"), roundTo).as("pr"))
+      val tr = personalizedWithCtx(ctx, seeds, rounds, damping).ranks
+        .select(col(Graph.VID), round(col("rank"), roundTo).as("tr"))
+      // the two rank frames are already materialized (each loop's last
+      // superstep is lineage-cut), so the join runs before ctx release
+      val out = pr.join(tr, Seq(Graph.VID))
+        .select(col(Graph.VID), col("pr"), col("tr"),
+          round((col("pr") - col("tr")) / col("pr"), roundTo).as("spam_mass"))
+      // the loops' final cut states stay pinned only until GC (weak-keyed
+      // backing map + ContextCleaner), same as every Result-returning run
+      graft.core.Lineage.cut(out)
+    } finally ctx.release()
   }
 
   /**

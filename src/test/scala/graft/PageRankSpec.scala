@@ -110,6 +110,32 @@ class PageRankSpec extends SparkSpec {
     assert(r(0L) > 0 && r(1L) > 0)
   }
 
+  test("spamMass equals the hand-composed run + personalized ratio exactly") {
+    // guards the shared-RankCtx path: one adjacency/degree init feeding both
+    // loops must be bit-identical to two independent inits
+    val edges = GraphGen.rmat(spark, 8, 8, seed = 7).cache()
+    val seeds = edges.select(col("src").as("vid")).union(edges.select(col("dst")))
+      .distinct().orderBy(col("vid")).limit(3).collect().map(_.getLong(0)).toSeq
+    val pr = PageRank.run(edges).ranks
+      .select(col("vid"), round(col("rank"), 6).as("pr"))
+    val tr = PageRank.personalized(edges, seeds).ranks
+      .select(col("vid"), round(col("rank"), 6).as("tr"))
+    val composed = pr.join(tr, Seq("vid"))
+      .select(col("vid"), col("pr"), col("tr"),
+        round((col("pr") - col("tr")) / col("pr"), 6).as("spam_mass"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val fused = PageRank.spamMass(edges, seeds)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(fused.keySet == composed.keySet)
+    fused.foreach { case (v, t) => assert(t == composed(v), s"vid=$v") }
+    // untrusted-ish sanity: seeds hold all restart mass, so their own spam
+    // mass is far below the graph maximum
+    val masses = fused.view.mapValues(_._3).toMap
+    assert(seeds.map(masses).max < masses.values.max)
+  }
+
   test("weighted: unit weights reproduce the unweighted reference semantics exactly") {
     val edges = graft.gen.GraphGen.rmat(spark, 8, 8, seed = 11)
     val unweighted = toMap[Double](PageRank.run(edges).ranks)
