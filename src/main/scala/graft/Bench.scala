@@ -500,12 +500,17 @@ object Bench {
     // compact summary LAST so it lands whole inside the driver's ~2000-char
     // tail window (see object doc): total + the slowest queries + supersteps
     // + scaling efficiencies with the union/DRAM evidence fields
-    val slowest = results.sortBy { case (_, v) => -v }.take(15)
+    // failed queries carry the -1.0 sentinel — rank only real timings (the
+    // sentinel's negation would otherwise outrank every sub-second query)
+    // and surface failures as their own field
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val slowest = results.filter(_._2 > 0).sortBy { case (_, v) => -v }.take(15)
     val qsCompact = slowest.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":${results.size},"queries":$qsCompact,""" +
+        s""""n_queries":${results.size},"failed":${failed.mkString("[", ",", "]")},""" +
+        s""""queries":$qsCompact,""" +
         s""""queries_note":"slowest 15 of ${results.size} by best-of-$HeadlinePasses; full per-query bests + run/probe distributions in bench_out.json (committed)",""" +
         s""""supersteps":$stepsJson,""" +
         s""""scaling":${legCompactJson(8, 32, r8, r32, triad)},""" +

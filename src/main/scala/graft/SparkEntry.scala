@@ -625,12 +625,12 @@ object SparkEntry {
         val m = (col("doc_id") + i) % 4
         when(m === 0, ".").when(m === 1, "!").when(m === 2, "").otherwise("?")
       }
-      // tokenize once via the single-element-transform binding (the
-      // wordShingles device): slicing the tokenizer EXPRESSION inside the
-      // line lambda would re-run the regex per synthesized line
-      val lines = element_at(transform(array(toks), ts =>
+      // tokenize once (TextAnalysis.bindOnce): slicing the tokenizer
+      // EXPRESSION inside the line lambda would re-run the regex per
+      // synthesized line
+      val lines = graft.text.TextAnalysis.bindOnce(toks)(ts =>
         transform(sequence(lit(0), ceil(size(ts) / lit(8.0)).cast("int") - 1), i =>
-          concat(concat_ws(" ", slice(ts, i * 8 + 1, lit(8))), term(i)))), 1)
+          concat(concat_ws(" ", slice(ts, i * 8 + 1, lit(8))), term(i))))
       val lorem = when(col("doc_id") % 17 === 0,
         array(lit("lorem ipsum dolor sit amet qui minim veniam culpa.")))
         .otherwise(array().cast("array<string>"))

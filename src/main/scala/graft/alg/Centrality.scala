@@ -24,6 +24,28 @@ import scala.collection.mutable.ArrayBuffer
  */
 object Centrality {
 
+  /** Distinct roots (order-preserving) + per-root multiplicity. Duplicate
+   * sources — sampling WITH replacement, the reference's approximate-mode
+   * idiom — batch as ONE forward root (the BFS/sigma structure is
+   * identical) and scale that root's dependency contributions by
+   * multiplicity ([[scaleByRoot]]), preserving the per-source-loop
+   * semantics the batching replaced: each duplicate counts in full. */
+  private def rootMultiplicity(sources: Seq[Long]): (Seq[Long], Map[Long, Int]) =
+    (sources.distinct, sources.groupBy(identity).map { case (k, v) => k -> v.size })
+
+  /** Multiply per-root `score` rows by the root's multiplicity, then drop
+   * the root key. All-distinct sources (the common case) skip the join. */
+  private def scaleByRoot(scored: DataFrame, mult: Map[Long, Int]): DataFrame =
+    if (mult.values.forall(_ == 1)) scored.drop("root")
+    else {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      val mdf = mult.toSeq.toDF("root", "__mult")
+      scored.join(broadcast(mdf), Seq("root"))
+        .withColumn("score", col("score") * col("__mult"))
+        .drop("root", "__mult")
+    }
+
   /** Batched forward structure: levels(i) = (root, vid, sigma) at depth i —
    * one frame holds every source's depth-i frontier; roots with smaller
    * eccentricity simply stop contributing rows before the loop ends. */
@@ -67,7 +89,7 @@ object Centrality {
    * (vid, score) summed over all roots, excluding each root's own row.
    */
   private def backward(adj: DataFrame, levels: ArrayBuffer[DataFrame],
-                       stress: Boolean): DataFrame = {
+                       stress: Boolean, mult: Map[Long, Int]): DataFrame = {
     var delta: DataFrame = null // (root, vid, sigma, delta) of the level below
     var acc: DataFrame = null   // accumulated per-vertex scores
     for (l <- levels.indices.reverse) {
@@ -90,9 +112,9 @@ object Centrality {
             .select(col("root"), col(Graph.VID), col("sigma"),
               coalesce(col("delta"), lit(0.0)).as("delta"))
         }
-      val scored = withDelta
+      val scored = scaleByRoot(withDelta
         .filter(col(Graph.VID) =!= col("root"))
-        .select(col(Graph.VID), col("delta").as("score"))
+        .select(col("root"), col(Graph.VID), col("delta").as("score")), mult)
       acc = if (acc == null) scored else acc.unionByName(scored)
       delta = withDelta
         .select(col("root"), col(Graph.VID), col("sigma"), col("delta"))
@@ -102,9 +124,10 @@ object Centrality {
   }
 
   private def perSource(edges: DataFrame, sources: Seq[Long], stress: Boolean): DataFrame = {
+    val (roots, mult) = rootMultiplicity(sources)
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val levels = forward(adj, sources)
-    val all = backward(adj, levels, stress)
+    val levels = forward(adj, roots)
+    val all = backward(adj, levels, stress, mult)
     levels.foreach(_.unpersist(blocking = false))
     val verts = Graph.vertices(edges)
     val res = verts.join(all, Seq(Graph.VID), "left")
@@ -115,7 +138,9 @@ object Centrality {
 
   /** Betweenness centrality over the given sources (all vertices = exact;
    * directed semantics: paths follow stored edges). Scores are the raw
-   * dependency sums, like the reference's per-source benchmark mode. */
+   * dependency sums, like the reference's per-source benchmark mode.
+   * Duplicate sources (sampling with replacement) each count in full:
+   * batched once, scaled by multiplicity ([[rootMultiplicity]]). */
   def betweenness(edges: DataFrame, sources: Seq[Long]): DataFrame =
     perSource(edges, sources, stress = false)
       .withColumnRenamed("score", "betweenness")
@@ -126,8 +151,8 @@ object Centrality {
    * summed over roots at the end. The (root, v, w) frame is persisted per
    * level because it feeds BOTH the edge emission and the vertex-delta
    * rollup the next level up. */
-  private def backwardEdges(adj: DataFrame,
-                            levels: ArrayBuffer[DataFrame]): DataFrame = {
+  private def backwardEdges(adj: DataFrame, levels: ArrayBuffer[DataFrame],
+                            mult: Map[Long, Int]): DataFrame = {
     var delta: DataFrame = null
     var acc: DataFrame = null
     val cache = ArrayBuffer[DataFrame]()
@@ -151,8 +176,9 @@ object Centrality {
         val withDelta = cur.join(contrib, Seq("root", Graph.VID), "left")
           .select(col("root"), col(Graph.VID), col("sigma"),
             coalesce(col("delta"), lit(0.0)).as("delta"))
-        val scored = pair.select(col("v").as(Graph.SRC),
-          col("w").as(Graph.DST), col("c").as("score"))
+        val scored = scaleByRoot(pair.select(col("root"),
+          col("v").as(Graph.SRC), col("w").as(Graph.DST),
+          col("c").as("score")), mult)
         acc = if (acc == null) scored else acc.unionByName(scored)
         delta = withDelta.transform(graft.core.Lineage.cut)
       }
@@ -178,10 +204,11 @@ object Centrality {
    * frame, cached for its two readers and released at the end.
    */
   def edgeBetweenness(edges: DataFrame, sources: Seq[Long]): DataFrame = {
+    val (roots, mult) = rootMultiplicity(sources)
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val levels = forward(adj, sources)
+    val levels = forward(adj, roots)
     // backwardEdges already aggregated to one row per (src, dst)
-    val all = backwardEdges(adj, levels)
+    val all = backwardEdges(adj, levels, mult)
       .withColumnRenamed("score", "edge_betweenness")
     levels.foreach(_.unpersist(blocking = false))
     val base = edges.select(col(Graph.SRC), col(Graph.DST))
@@ -209,7 +236,9 @@ object Centrality {
     val spark = edges.sparkSession
     import spark.implicits._
     val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    var state = sources.map(s => (s, s, 0)).toDF("root", Graph.VID, "dist")
+    // a root SET: a duplicated source would seed duplicate (s, s, 0) state
+    // rows that survive to the output (levels dedupe via distinct)
+    var state = sources.distinct.map(s => (s, s, 0)).toDF("root", Graph.VID, "dist")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = state
     var level = 0

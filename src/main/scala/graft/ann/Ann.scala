@@ -100,9 +100,11 @@ object Ann {
     val radius = if (multiProbe) probeRadius else 0
     val masks = probeMasks(planes, radius)
     val scored = (0 until tables).map { t =>
+      // NOT persisted: each table's signed copy is read exactly once (its
+      // bucket join) in the returned plan, and a cache-manager entry could
+      // never be unregistered from inside this lazy API anyway
       val c = corpus.withColumn("bkey",
         planeSignature(col(vec), planes, offset = t * planes))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val qsig = queries.withColumn("sig",
         planeSignature(col(qvec), planes, offset = t * planes))
       val probes = qsig.select(col("*"), explode(array(

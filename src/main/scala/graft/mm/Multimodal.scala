@@ -168,12 +168,19 @@ object Multimodal {
       }
     }
     require(w > 0 && h > 0, s"media_id=$mediaId: y4m header missing W/H")
+    // a trailing p<depth> (ffmpeg extension: C420p10, C422p12, …) means
+    // 2 bytes/sample — reject rather than misparse as 8-bit ("420paldv"
+    // ends in letters, so the digit-anchored probe leaves it alone)
+    "p(\\d+)$".r.findFirstMatchIn(cs).map(_.group(1).toInt).foreach { depth =>
+      require(depth == 8, s"media_id=$mediaId: unsupported y4m bit depth " +
+        s"$depth (C$cs) — only 8-bit streams are byte-addressable here")
+    }
     val chromaBytes =
-      if (cs.startsWith("420")) { // 2 quarter-size planes
+      if (cs.startsWith("420")) { // 2 planes of ceil(w/2) × ceil(h/2)
         require(w % 2 == 0 && h % 2 == 0,
           s"media_id=$mediaId: C420 needs even dimensions, got ${w}x$h")
         w * h / 2
-      } else if (cs.startsWith("422")) w * h
+      } else if (cs.startsWith("422")) 2 * ((w + 1) / 2) * h // ceil on odd widths
       else if (cs.startsWith("444")) 2 * w * h
       else if (cs == "mono") 0
       else throw new UnsupportedOperationException(

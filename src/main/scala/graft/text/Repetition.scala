@@ -57,12 +57,12 @@ object Repetition {
 
   /** Fraction of word n-grams that are repeats of an earlier occurrence;
    * null when the document has fewer than n tokens (callers filter).
-   * The gram array is evaluated ONCE via the single-element-transform
-   * device (three references otherwise re-run the shingler per use). */
+   * The gram array is evaluated ONCE via [[TextAnalysis.bindOnce]] (three
+   * references otherwise re-run the shingler per use). */
   def dupNgramFraction(text: Column, n: Int): Column =
-    element_at(transform(array(wordGrams(text, n)), g =>
+    TextAnalysis.bindOnce(wordGrams(text, n))(g =>
       when(size(g) > 0,
-        lit(1.0) - size(array_distinct(g)).cast("double") / size(g))), 1)
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g)))
 
   /**
    * Most frequent word n-gram per document and the fraction of the token
@@ -109,10 +109,10 @@ object Repetition {
    */
   def gopherStats(text: Column): Column = {
     val stopHits = size(regexp_extract_all(lower(text), lit(StopPattern), lit(0))).cast("long")
-    // tokenize ONCE (single-element-transform device): n_words, token chars
-    // and alpha_frac all read the bound token array instead of re-running
-    // the tokenizer regex per measure
-    element_at(transform(array(TextAnalysis.tokens(text)), toks => {
+    // tokenize ONCE (bindOnce): n_words, token chars and alpha_frac all
+    // read the bound token array instead of re-running the tokenizer regex
+    // per measure
+    TextAnalysis.bindOnce(TextAnalysis.tokens(text))(toks => {
       val nWords = size(toks).cast("long")
       val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
       val meanLen = when(nWords > 0, round(tokChars.cast("double") / nWords, 6)).otherwise(lit(0.0))
@@ -123,7 +123,7 @@ object Repetition {
         meanLen.between(3.0, 10.0) && alphaFrac >= 0.8 && stopHits >= 2L
       struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
         alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"), keep.as("keep"))
-    }), 1)
+    })
   }
 
   /**

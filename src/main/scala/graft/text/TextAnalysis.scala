@@ -101,6 +101,18 @@ object TextAnalysis {
   def normalizeForShingles(text: Column): Column =
     regexp_replace(lower(text), "\\s+", " ")
 
+  /** Evaluate `c` ONCE per row and hand it to `f` as a bound lambda
+   * VARIABLE (an O(1) read): `element_at(transform(array(c), f), 1)`. The
+   * outer single-element `transform` evaluates its input exactly once;
+   * inner lambdas then read the binding instead of re-executing the
+   * expression per output element — Catalyst does no subexpression
+   * elimination across lambda scopes, so nesting a tokenizer/normalizer
+   * expression directly inside a shingle lambda is O(L²) per document
+   * (the round-3 q_dsir lesson). Use this wherever a derived array feeds
+   * a higher-order function and can't be pre-projected as an attribute. */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
   /** Character n-gram shingles of an ALREADY-normalized column (pass an
    * attribute, not an expression — see [[normalizeForShingles]]). */
   def rawShingles(norm: Column, n: Int): Column = {
@@ -110,12 +122,10 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Convenience one-shot form, O(L) in the normalization: the normalized
-   * string is evaluated once as the input of a single-element outer
-   * `transform`, so the shingle lambda reads a bound variable (same device
-   * as [[wordShingles]]). */
+  /** Convenience one-shot form, O(L) in the normalization via
+   * [[bindOnce]]. */
   def shingles(text: Column, n: Int): Column =
-    element_at(transform(array(normalizeForShingles(text)), t => rawShingles(t, n)), 1)
+    bindOnce(normalizeForShingles(text))(t => rawShingles(t, n))
 
   /** Lowercased whitespace tokens — the tokenizer shared by the word-gram
    * family (identical to regexp_extract_all(lower(text), '\S+') in
@@ -135,13 +145,10 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Word n-gram shingles. One-shot form, still O(L): the token array is
-   * evaluated ONCE as the input of a single-element outer `transform`, so
-   * the inner shingle lambda references a bound lambda VARIABLE (an O(1)
-   * read), never the tokenizer expression — the round-3 q_dsir lesson
-   * (re-tokenizing inside the lambda cost O(L²) per document). */
+  /** Word n-gram shingles. One-shot form, still O(L): [[bindOnce]] keeps
+   * the tokenizer out of the shingle lambda. */
   def wordShingles(text: Column, n: Int): Column =
-    element_at(transform(array(tokens(text)), ts => rawWordShingles(ts, n)), 1)
+    bindOnce(tokens(text))(ts => rawWordShingles(ts, n))
 
   /**
    * CCNet-style unigram-LM quality scoring (Wenzek et al. 2020 use a KenLM
@@ -228,8 +235,11 @@ object TextAnalysis {
   def unigramLogProbTerciles(docs: org.apache.spark.sql.DataFrame, idCol: String,
                              textCol: String,
                              exact: Boolean = true): org.apache.spark.sql.DataFrame = {
-    val scored = unigramScores(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lineage-cut, not persist: a cache-manager entry would never be
+    // unregistered here (the returned plan still reads `scored`), pinning
+    // storage for the session AND letting later identical plans silently
+    // read this call's cache; cut blocks are weak-keyed and GC-reclaimed
+    val scored = graft.core.Lineage.cut(unigramScores(docs, idCol, textCol))
     val cuts =
       if (exact) {
         val n = scored.count()

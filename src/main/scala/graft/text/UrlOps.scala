@@ -134,8 +134,12 @@ object UrlOps {
         when(col("__more").isNull, col("cur")).otherwise(col("url")).as("final_url"),
         when(col("__more").isNull, col("hops")).otherwise(lit(-1L)).as("hops"),
         col("__more").isNull.as("resolved"))
+    // materialize BEFORE dropping nxt0's cache — `out` is lazy and still
+    // reads nxt0 (the terminal-membership probe); unpersisting first would
+    // recompute the redirect aggregation at the caller's action
+    val cut = graft.core.Lineage.cut(out)
     nxt0.unpersist(blocking = false)
-    out
+    cut
   }
 
   /**

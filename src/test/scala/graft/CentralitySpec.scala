@@ -31,6 +31,28 @@ class CentralitySpec extends SparkSpec {
     }
   }
 
+  test("duplicate sources count in full (sampling with replacement)") {
+    // batched with multiplicity scaling: Seq(s, s, t) must equal the
+    // per-source-loop composition 2×(from s) + 1×(from t)
+    val edges = graft.core.Graph.undirected(GraphGen.uniform(spark, 12, 30, seed = 3)).cache()
+    val s = edges.select(min(col("src"))).collect()(0).getLong(0)
+    val t = edges.select(max(col("src"))).collect()(0).getLong(0)
+    assert(s != t)
+    val fromS = toMap[Double](Centrality.betweenness(edges, Seq(s)))
+    val fromT = toMap[Double](Centrality.betweenness(edges, Seq(t)))
+    val dup = toMap[Double](Centrality.betweenness(edges, Seq(s, s, t)))
+    dup.foreach { case (vid, sc) =>
+      assert(math.abs(sc - (2 * fromS(vid) + fromT(vid))) < 1e-9, s"vid=$vid")
+    }
+    val dupE = Centrality.edgeBetweenness(edges, Seq(s, s)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val oneE = Centrality.edgeBetweenness(edges, Seq(s)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    dupE.foreach { case (e, sc) =>
+      assert(math.abs(sc - 2 * oneE(e)) < 1e-9, s"edge=$e")
+    }
+  }
+
   test("stress matches oracle on random graph") {
     val edges = graft.core.Graph.undirected(GraphGen.uniform(spark, 15, 40, seed = 12)).cache()
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -236,6 +236,30 @@ class GraphOpsSpec extends SparkSpec {
     val (mi, mf) = Multimodal.decodeY4m(mono, mediaId = 4L)
     assert(mi.colorspace == "mono" && mi.nFrames == 1 && mi.fpsNum == 25)
     assert(mf(0).pixels.toSeq == Seq[Byte](1, 2, 3, 4))
+
+    // C422 with ODD width: chroma planes are 2 × ceil(w/2) × h = 8 bytes
+    // per frame (w·h = 6 would drift the second frame's offset)
+    val b422 = new java.io.ByteArrayOutputStream()
+    b422.write("YUV4MPEG2 W3 H2 F25:1 C422\n".getBytes(ascii))
+    val l422 = Array(Array[Int](1, 2, 3, 4, 5, 6), Array[Int](7, 8, 9, 10, 11, 12))
+    l422.foreach { fr =>
+      b422.write("FRAME\n".getBytes(ascii))
+      fr.foreach(b422.write)
+      b422.write(Array[Byte](90, 91, 92, 93, 94, 95, 96, 97)) // 2·ceil(3/2)·2
+    }
+    val (i422, f422) = Multimodal.decodeY4m(b422.toByteArray, mediaId = 5L)
+    assert(i422.nFrames == 2)
+    assert(f422.map(_.pixels.toSeq) == l422.toSeq.map(_.map(_.toByte).toSeq))
+
+    // high-bit-depth streams (2 bytes/sample) are rejected, not misparsed;
+    // 420paldv's letters-only suffix must NOT trip the depth probe
+    val p10 = ("YUV4MPEG2 W2 H2 C420p10\nFRAME\n".getBytes(ascii)
+      ++ Array.fill[Byte](12)(0))
+    intercept[IllegalArgumentException] { Multimodal.decodeY4m(p10, mediaId = 6L) }
+    val paldv = ("YUV4MPEG2 W2 H2 C420paldv\nFRAME\n".getBytes(ascii)
+      ++ Array.fill[Byte](6)(7))
+    val (ip, fp) = Multimodal.decodeY4m(paldv, mediaId = 7L)
+    assert(ip.nFrames == 1 && fp(0).pixels.length == 4)
   }
 
   test("assortativity: star is maximally disassortative; matches driver-side Pearson") {
