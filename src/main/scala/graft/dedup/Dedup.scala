@@ -55,11 +55,15 @@ object Dedup {
                         bitmapMaxUniverse: Long = BitmapMaxUniverse): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // normalization hoisted into a projection: nested in the shingle lambda
-    // it would re-execute per array element (O(L²) per document)
+    // it would re-execute per array element (O(L²) per document).
+    // Dedup is PER DOCUMENT, so array_distinct BEFORE the explode does it
+    // as a narrow per-row pass — a global .distinct() here shuffled the
+    // full pre-dedup corpus (O(Σ L) rows) for nothing (measured: the
+    // largest single stage of the join at sf0.1)
     val sh = docs.select(col(id), TextAnalysis.normalizeForShingles(col(text)).as("__t"))
-      .select(col(id), explode_outer(TextAnalysis.rawShingles(col("__t"), n)).as("sh"))
+      .select(col(id),
+        explode_outer(array_distinct(TextAnalysis.rawShingles(col("__t"), n))).as("sh"))
       .filter(col("sh").isNotNull)
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
     // per-document rank in global (f, sh) order; window is per-doc (bounded
@@ -82,6 +86,12 @@ object Dedup {
     val cand = prefix.select(col(id).as("ia"), col("sh"), col("r").as("ra"), col("sz").as("na"))
       .join(prefix.select(col(id).as("ib"), col("sh"), col("r").as("rb"), col("sz").as("nb")), "sh")
       .filter(col("ia") < col("ib"))
+      // LENGTH filter (safe: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so
+      // J ≥ t forces the set sizes within a factor t of each other) —
+      // prunes before the positional bound on corpora where prefix
+      // selectivity is weak (vocabulary-limited: everyone shares prefixes)
+      .filter(least(col("na"), col("nb")) + lit(1e-9)
+        >= lit(threshold) * greatest(col("na"), col("nb")))
       .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) + lit(1e-9)
         >= alpha * (col("na") + col("nb")))
       .select("ia", "ib").distinct()
@@ -121,10 +131,13 @@ object Dedup {
       cand
         .join(sets.select(col(id).as("ia"), col("set").as("sa"), col("sz").as("na")), "ia")
         .join(sets.select(col(id).as("ib"), col("set").as("sb"), col("sz").as("nb")), "ib")
+        // one intersection per candidate: a single-select formula would
+        // evaluate array_intersect twice per row (codegen subexpression
+        // elimination is not guaranteed across a projection's outputs)
+        .select(col("ia"), col("ib"), col("na"), col("nb"),
+          size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"))
         .select(col("ia").as("id_a"), col("ib").as("id_b"),
-          (size(array_intersect(col("sa"), col("sb"))).cast("double")
-            / (col("na") + col("nb") - size(array_intersect(col("sa"), col("sb")))))
-            .as("jaccard"))
+          (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
   }
