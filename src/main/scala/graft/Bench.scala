@@ -90,6 +90,9 @@ object Bench {
     // round-4: Brandes batched across sources (root rides both passes —
     // jobs per BFS level O(1) in the source count); benched to record it
     "q_betweenness", "q_edge_betweenness",
+    // round-4 session 2: HyperBall harmonic (every vertex, O(diameter)
+    // supersteps) + the directed related-page wedge passes
+    "q_hyperball", "q_cocitation", "q_coupling",
     "q_neg_sample", "q_khop_sample",
     "q_mis", "q_matching", "q_msf",
     "q_dedup_exact", "q_minhash_sig", "q_simhash",

@@ -317,6 +317,14 @@ object SparkEntry {
       // link prediction on the bipartite part–supplier graph: top pairs =
       // parts sharing suppliers / suppliers sharing parts
       graft.alg.LinkPrediction.adamicAdarTopK(ePS(s, dir), k = 50)),
+    "q_cocitation" -> ((s, dir) =>
+      // related pages by shared citers (Small 1973 / Dean–Henzinger):
+      // top pairs co-linked by the most common sources, Jaccard-normalized
+      graft.alg.LinkPrediction.cocitationTopK(eMOD(s, dir), k = 50)),
+    "q_coupling" -> ((s, dir) =>
+      // bibliographic coupling (Kessler 1963): top pairs citing the most
+      // common targets — the same wedge pass on the reversed graph
+      graft.alg.LinkPrediction.couplingTopK(eMOD(s, dir), k = 50)),
     "q_butterflies" -> ((s, dir) =>
       // bipartite 4-cycle census per part: exact (uncapped) for the oracle;
       // the maxPivotDegree hub valve is the scale path (ButterflySpec)
@@ -443,6 +451,22 @@ object SparkEntry {
         .select(col("h").cast("int").as("h"),
           col("n_reach").cast("long").as("n_reach"),
           (abs(col("est") - col("n_reach")) / col("n_reach") <= 0.15).as("anf_ok"))
+    }),
+    "q_hyperball" -> ((s, dir) => {
+      // HyperBall harmonic centrality (Boldi–Vigna 2013) vs the exact
+      // sampled harmonic: exact values are hash-checked, hb_ok asserts the
+      // estimator's per-root relative error in-plan (same floor-row pattern
+      // as q_anf; deterministic hashes ⇒ the measured relerr is a constant
+      // of the data). m=64, depth 3 — the mod graph's balls saturate at 2.
+      val g = Graph.undirected(eMOD(s, dir))
+      val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val exact = graft.alg.Traversals.harmonic(g, roots)
+      val est = graft.alg.Anf.harmonicApprox(g, m = 64, maxH = 3)
+      exact.join(est, Seq("vid"))
+        .select(col("vid"), round(col("harmonic"), 6).as("harmonic"),
+          (abs(col("harmonic_est") - col("harmonic")) / col("harmonic") <= 0.25)
+            .as("hb_ok"))
     }),
     "q_betweenness" -> ((s, dir) => {
       val e = Graph.undirected(eMOD(s, dir))
@@ -2817,6 +2841,26 @@ object SparkEntry {
         FROM nonedge ne JOIN dg ON ne.w = dg.w GROUP BY ne.a, ne.b)
       SELECT a, b, common_n, ROUND(aa, 6) AS adamic_adar FROM scored
       ORDER BY ROUND(aa, 6) DESC, a, b LIMIT 50""",
+    "q_cocitation" -> s"""
+      WITH e AS MATERIALIZED ($SqlEMOD),
+      cnt AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cocitation
+              FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+              GROUP BY e1.dst, e2.dst),
+      ind AS (SELECT dst AS v, COUNT(*) AS d FROM e GROUP BY dst)
+      SELECT c.a, c.b, c.cocitation,
+             ROUND(CAST(c.cocitation AS DOUBLE) / (da.d + db.d - c.cocitation), 6) AS jaccard
+      FROM cnt c JOIN ind da ON c.a = da.v JOIN ind db ON c.b = db.v
+      ORDER BY c.cocitation DESC, c.a, c.b LIMIT 50""",
+    "q_coupling" -> s"""
+      WITH e AS MATERIALIZED ($SqlEMOD),
+      cnt AS (SELECT e1.src AS a, e2.src AS b, COUNT(*) AS coupling
+              FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+              GROUP BY e1.src, e2.src),
+      outd AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src)
+      SELECT c.a, c.b, c.coupling,
+             ROUND(CAST(c.coupling AS DOUBLE) / (da.d + db.d - c.coupling), 6) AS jaccard
+      FROM cnt c JOIN outd da ON c.a = da.v JOIN outd db ON c.b = db.v
+      ORDER BY c.coupling DESC, c.a, c.b LIMIT 50""",
     "q_butterflies" -> s"""
       WITH e AS MATERIALIZED ($SqlEPS),
       nbr AS (SELECT dst AS w, src AS x FROM e),
@@ -3437,6 +3481,18 @@ object SparkEntry {
       ),
       lvl AS (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v)
       SELECT root AS vid, ROUND(SUM(1.0 / d), 6) AS harmonic FROM lvl WHERE d > 0 GROUP BY root""",
+    "q_hyperball" -> s"""
+      WITH RECURSIVE e0 AS ($SqlEMOD),
+      und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      roots AS (SELECT src AS r FROM (SELECT DISTINCT src FROM e0 ORDER BY src LIMIT 3)),
+      walk(root, v, d) AS (
+        SELECT r, r, 0 FROM roots
+        UNION
+        SELECT walk.root, und.dst, walk.d + 1 FROM walk JOIN und ON walk.v = und.src WHERE walk.d < 15
+      ),
+      lvl AS (SELECT root, v, MIN(d) AS d FROM walk GROUP BY root, v)
+      SELECT root AS vid, ROUND(SUM(1.0 / d), 6) AS harmonic, TRUE AS hb_ok
+      FROM lvl WHERE d > 0 GROUP BY root""",
     "q_maxflow" -> maxflowSql,
     "q_betweenness" -> brandesSql(stress = false, depth = 8, nRoots = 3),
     "q_stress" -> brandesSql(stress = true, depth = 8, nRoots = 3),

@@ -42,6 +42,17 @@ import graft.core.{Adjacency, Graph, Lineage, StepResult, Superstep}
  */
 object Anf {
 
+  /** HLL estimate of |B(v,h)| from one row's registers (raw estimator +
+   * linear-counting small-range correction, Flajolet et al. 2007). */
+  private def estimator(m: Int, regs: Seq[String]): Column = {
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zInv = regs.map(c => pow(lit(2.0), -col(c))).reduce(_ + _)
+    val rawE = lit(alpha * m * m) / zInv
+    val zeros = regs.map(c => when(col(c) === 0, 1).otherwise(0)).reduce(_ + _)
+    when(rawE <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
+  }
+
   final case class Result(
       /** (h: Int, est: Double) — estimated N(h), h = 0..H (h=0 is |V|, exact). */
       neighborhood: DataFrame,
@@ -88,14 +99,7 @@ object Anf {
         when(j === i, rho).otherwise(lit(0)).cast("int").as(c)
       }: _*)
 
-    // HLL estimate of |B(v,h)| from one row's registers (raw estimator +
-    // linear-counting small-range correction, Flajolet et al. 2007)
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val zInv = regs.map(c => pow(lit(2.0), -col(c))).reduce(_ + _)
-    val rawE = lit(alpha * m * m) / zInv
-    val zeros = regs.map(c => when(col(c) === 0, 1).otherwise(0)).reduce(_ + _)
-    val ballEst: Column = when(rawE <= lit(2.5 * m) && zeros > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
+    val ballEst: Column = estimator(m, regs)
 
     val history = ListBuffer[Double](v.toDouble) // N(0) = |V|, exact
     // resumed run: history must stay labeled by the TRUE hop index, or the
@@ -186,5 +190,82 @@ object Anf {
     while (counts.size <= maxH) counts += ((counts.size, counts.last._2))
     adj.unpersist(blocking = false)
     counts.toSeq.toDF("h", "n_reach")
+  }
+
+  /**
+   * HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation of
+   * Geometric Centralities with HyperBall", 2013): per vertex,
+   * `harmonic(v) = Σ_{u≠v, d(u→v)<∞} 1 / d(u→v)`, estimated from the
+   * DIFFERENCES of successive incoming-ball HLL sizes —
+   * `Σ_h (|B⁻(v,h)| − |B⁻(v,h−1)|) / h`, where the scatter direction
+   * (src registers flow to dst, exactly [[run]]'s plan) makes each
+   * vertex's registers count the vertices that REACH it, i.e. the ball
+   * harmonic centrality needs. On an undirected graph this is the
+   * standard harmonic centrality.
+   *
+   * Why it exists next to [[Traversals.harmonic]]: the exact form runs one
+   * BFS per source — O(sources · diameter) supersteps, fine for sampled
+   * landmarks, impossible for ALL vertices of a 10^11-edge crawl. This
+   * estimator computes EVERY vertex's harmonic score in O(diameter)
+   * supersteps total with V × m ints of state — the published scale path
+   * (it ranked every page of a 3.8 G-page crawl in the paper). Error is
+   * the HLL per-ball error (m = 64 ⇒ ~13% standard); hashes are
+   * deterministic (xxhash64), so estimates are run- and engine-stable.
+   *
+   * Negative ball differences (HLL estimates can dip hop-over-hop) clamp
+   * to 0 — the counter function is monotone by construction, so a dip is
+   * pure estimator noise and would otherwise SUBTRACT mass.
+   *
+   * @return (vid, harmonic_est) for every vertex.
+   */
+  def harmonicApprox(edges: DataFrame,
+                     m: Int = 64,
+                     maxH: Int = 30,
+                     verbose: Boolean = false): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val e = edges.count()
+    val regs = (0 until m).map(i => s"r$i")
+    val j = pmod(xxhash64(col(Graph.VID)), lit(m.toLong))
+    val w = pmod(xxhash64(col(Graph.VID), lit(1L)), lit(4294967296L))
+    val rho = when(w === 0, lit(33)).otherwise(lit(33) - length(bin(w)))
+    val est = estimator(m, regs)
+    val init0 = Graph.vertices(edges).select(
+      col(Graph.VID) +: regs.zipWithIndex.map { case (c, i) =>
+        when(j === i, rho).otherwise(lit(0)).cast("int").as(c)
+      }: _*)
+    // prev = |B(v,0)| estimate (the singleton baseline absorbs the HLL
+    // small-range bias: only GROWTH beyond it earns harmonic mass)
+    val init = init0.select(col(Graph.VID) +: regs.map(col) :+
+      est.as("prev") :+ lit(0.0).as("hc"): _*)
+
+    var lastTotal = Double.NaN
+    val outcome = Superstep.run(init,
+      Superstep.Config(maxSupersteps = maxH, verbose = verbose)) { (state, h) =>
+      val msgs = adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
+        .select(explode(col("nbrs")).as(Graph.VID) +: regs.map(col): _*)
+        .groupBy(Graph.VID)
+        .agg(max(regs.head).as(s"m_${regs.head}"),
+          regs.tail.map(c => max(c).as(s"m_$c")): _*)
+      val mergedRegs = regs.map(c =>
+        greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c))
+      val merged = state.join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
+        .select(col(Graph.VID) +: mergedRegs :+ col("prev") :+ col("hc"): _*)
+        .select(col(Graph.VID) +: regs.map(col) :+ est.as("__est") :+
+          col("prev") :+ col("hc"): _*)
+        .select(col(Graph.VID) +: regs.map(col) :+ col("__est").as("prev") :+
+          (col("hc") + greatest(col("__est") - col("prev"), lit(0.0)) / h).as("hc"): _*)
+      val cut = Lineage.cut(merged)
+      // fixpoint probe on the cut state (registers are monotone, so an
+      // unchanged estimate total means every later hop is a no-op); one
+      // O(1)-row aggregate per superstep, the ANF history probe's shape
+      val total = cut.agg(sum(col("prev"))).collect()(0).getDouble(0)
+      val done = total == lastTotal
+      lastTotal = total
+      StepResult(cut, edgesTraversed = e, converged = done)
+    }
+    adj.unpersist(blocking = false)
+    outcome.state.select(col(Graph.VID), col("hc").as("harmonic_est"))
   }
 }

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One packed adjacency row: `n` neighbors of `src`, delta-varint bytes. */
+final case class PackedRow(src: Long, n: Int, packed: Array[Byte])
+
+/**
+ * Delta-varint packed adjacency — the gap-encoding idea of the
+ * BV/WebGraph format family (Boldi & Vigna, "The WebGraph Framework I",
+ * WWW 2004: successor lists stored as small deltas) re-expressed as a
+ * columnar codec the engine can ship through any binary-capable sink
+ * (Parquet here, matching the reference's binary CSR store,
+ * `/root/reference/src/totem/totem_graph.cu:881-921`).
+ *
+ * Per source vertex the DISTINCT neighbors sort ascending and become
+ * `[nbr₀, nbr₁ − nbr₀ − 1, nbr₂ − nbr₁ − 1, …]`, each LEB128-varint
+ * encoded into one BINARY cell. Why it matters at 10^12 edges: the raw id
+ * payload (8 B/edge) dominates a link graph's storage, and web graphs
+ * have strong successor locality (pages link within their own host, and
+ * crawl-ordered ids number a host's pages consecutively), so most gaps
+ * fit 1-2 bytes — the published 4-8× edge-payload reduction, before
+ * Parquet's own page compression. Both directions are narrow per-row
+ * passes; the byte-level loop is genuine imperative per-row work (the
+ * justified typed-map case, like the media decoders) — everything around
+ * it stays relational.
+ *
+ * The codec is EXACT: unpack(pack(e)) equals the distinct edge set, and
+ * `n`/byte-length invariants are enforced on decode (a truncated cell
+ * fails loudly, not silently short).
+ */
+object PackedAdjacency {
+
+  /** LEB128 unsigned varint append. */
+  private def putVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, s"varint needs non-negative values, got $v")
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private[graft] def encodeGaps(sorted: IndexedSeq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(sorted.length * 2)
+    var prev = -1L
+    var i = 0
+    while (i < sorted.length) {
+      putVarint(out, sorted(i) - prev - 1)
+      prev = sorted(i)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private[graft] def decodeGaps(bytes: Array[Byte], n: Int): Array[Long] = {
+    val res = new Array[Long](n)
+    var prev = -1L
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        require(pos < bytes.length, s"truncated packed adjacency at neighbor $i of $n")
+        val b = bytes(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+      }
+      prev = prev + 1 + v
+      res(i) = prev
+      i += 1
+    }
+    require(pos == bytes.length,
+      s"packed adjacency carries ${bytes.length - pos} trailing bytes after $n neighbors")
+    res
+  }
+
+  /** edges(src, dst) → one [[PackedRow]] per source (distinct neighbors,
+   * ascending). One shuffle (the group-by), then a narrow typed encode. */
+  def pack(edges: DataFrame): Dataset[PackedRow] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src"), col("dst"))
+      .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .as[(Long, Seq[Long])]
+      .map { case (src, nbrs) =>
+        PackedRow(src, nbrs.length, encodeGaps(nbrs.toIndexedSeq))
+      }
+  }
+
+  /** Inverse of [[pack]]: (src, dst) rows, exact. */
+  def unpack(packed: Dataset[PackedRow]): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.flatMap(r => decodeGaps(r.packed, r.n).map(d => (r.src, d)))
+      .toDF("src", "dst")
+  }
+
+  /** Parquet sink/source for the packed form (the binary cell rides a
+   * regular binary column; Parquet adds page compression on top). */
+  def write(edges: DataFrame, path: String): Unit =
+    pack(edges).write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    unpack(spark.read.parquet(path).as[PackedRow])
+  }
+
+  /** (sources, edges, packedBytes, rawBytes = 8·edges): the compression
+   * ledger — one aggregate, no collect of data. */
+  def stats(packed: Dataset[PackedRow]): (Long, Long, Long, Long) = {
+    val r = packed.agg(
+      count(lit(1)), sum(col("n")), sum(length(col("packed")))).collect()(0)
+    val edges = r.getLong(1)
+    (r.getLong(0), edges, r.getLong(2), 8L * edges)
+  }
+}

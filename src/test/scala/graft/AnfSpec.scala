@@ -31,6 +31,32 @@ class AnfSpec extends SparkSpec {
     }
   }
 
+  test("HyperBall harmonic tracks the exact scores within HLL tolerance") {
+    val e = Graph.undirected(
+      gen.GraphGen.uniform(spark, vertexCount = 300, edgeCount = 1200, seed = 5))
+    val verts = Graph.vertices(e).collect().map(_.getLong(0)).toSeq.sorted
+    val exact = graft.alg.Traversals.harmonic(e, verts).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val est = Anf.harmonicApprox(e, m = 64, maxH = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet)
+    val rels = exact.collect { case (v, x) if x > 0 =>
+      math.abs(est(v) - x) / x }
+    assert(rels.sum / rels.size <= 0.15,
+      f"mean relative error ${rels.sum / rels.size}%.3f exceeds the HLL bound")
+    assert(rels.max <= 0.5, f"worst relative error ${rels.max}%.3f")
+    // determinism: same data, same hashes, same estimates
+    val again = Anf.harmonicApprox(e, m = 64, maxH = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == est)
+    // isolated vertices (no in-ball growth) score exactly 0
+    val iso = edgesOf((1L, 2L))
+    val h = Anf.harmonicApprox(iso, m = 16, maxH = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(1L) == 0.0, "source with empty in-ball must score 0")
+    assert(h(2L) > 0.0)
+  }
+
   test("relTol stops at the ball fixpoint before maxH on a low-diameter graph") {
     val e = Graph.undirected(
       gen.GraphGen.uniform(spark, vertexCount = 200, edgeCount = 1200, seed = 11))

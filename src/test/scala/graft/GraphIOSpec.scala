@@ -61,6 +61,40 @@ class GraphIOSpec extends SparkSpec {
     assert(back.columns.contains("bucket"))
   }
 
+  test("packed adjacency: delta-varint round-trip, compression, loud truncation") {
+    import graft.sources.PackedAdjacency
+    // unit level: gaps encode/decode exact, including 0-gap (consecutive
+    // ids) and multi-byte varints (gap > 127)
+    val nbrs = IndexedSeq(0L, 1L, 2L, 300L, 16384L, Long.MaxValue - 1)
+    assert(PackedAdjacency.decodeGaps(PackedAdjacency.encodeGaps(nbrs), nbrs.length)
+      .toSeq == nbrs)
+    // round-trip on a skewed graph equals the distinct edge set
+    val edges = GraphGen.rmat(spark, 8, 8, seed = 21)
+    val back = PackedAdjacency.unpack(PackedAdjacency.pack(edges))
+    val want = edges.select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = back.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // compression: consecutive-id locality (the web-graph case) packs to
+    // ~1 byte/edge vs 8 raw
+    val local = spark.range(1000).selectExpr("id % 10 AS src", "id AS dst")
+    val (srcs, e, packedBytes, rawBytes) =
+      PackedAdjacency.stats(PackedAdjacency.pack(local))
+    assert(srcs == 10 && e == 1000)
+    assert(packedBytes < rawBytes / 4, s"packed=$packedBytes raw=$rawBytes")
+    // parquet sink/source round-trip
+    val dir = java.nio.file.Files.createTempDirectory("packed").toString
+    PackedAdjacency.write(edges, s"$dir/adj")
+    assert(PackedAdjacency.read(spark, s"$dir/adj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    // a truncated cell fails loudly
+    val enc = PackedAdjacency.encodeGaps(IndexedSeq(5L, 1000L))
+    intercept[IllegalArgumentException] {
+      PackedAdjacency.decodeGaps(enc.dropRight(1), 2)
+    }
+    intercept[IllegalArgumentException] { PackedAdjacency.decodeGaps(enc, 1) }
+  }
+
   test("alters: sorted adjacency, degree renumbering, weights, bidirectional") {
     val edges = GraphGen.star(spark, 5)
     val adj = graft.core.Graph.sortedAdjacency(edges)

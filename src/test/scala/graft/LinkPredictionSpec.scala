@@ -101,6 +101,29 @@ class LinkPredictionSpec extends SparkSpec {
     }
   }
 
+  test("cocitation and coupling: hand-computed directed example, hub cap") {
+    // 1→3, 1→4, 2→3, 2→4, 5→3
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (5L, 3L)).toDF("src", "dst")
+    // co-cited: pivots 1 and 2 both emit (3,4) → count 2;
+    // jaccard = 2 / (indeg3 + indeg4 − 2) = 2/3
+    val co = LinkPrediction.cocitationTopK(edges, k = 10).collect()
+    assert(co.length == 1)
+    assert((co(0).getLong(0), co(0).getLong(1), co(0).getLong(2)) == (3L, 4L, 2L))
+    assert(math.abs(co(0).getDouble(3) - 2.0 / 3.0) < 1e-6)
+    // coupling: citers of 3 = {1,2,5}, of 4 = {1,2} → (1,2)=2, (1,5)=1,
+    // (2,5)=1; jaccard over out-degrees: (1,2)=1.0, others 0.5;
+    // order: count desc, then (a, b)
+    val cp = LinkPrediction.couplingTopK(edges, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cp.toSeq == Seq((1L, 2L, 2L, 1.0), (1L, 5L, 1L, 0.5), (2L, 5L, 1L, 0.5)))
+    // hub cap: fanout-2 pivots dropped → no co-citation wedges survive
+    assert(LinkPrediction.cocitationTopK(edges, k = 10, maxPivotDegree = 1).isEmpty)
+    // k cuts deterministically on the (count desc, a, b) total order
+    val cp1 = LinkPrediction.couplingTopK(edges, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cp1.toSeq == Seq((1L, 2L), (1L, 5L)))
+  }
+
   test("topK orders by rounded score then pair") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)).toDF("src", "dst")
     // only non-adjacent pair left is (1,3); sanity: topK returns it first
