@@ -464,6 +464,10 @@ object SparkEntry {
       val exact = graft.alg.Traversals.harmonic(g, roots)
       val est = graft.alg.Anf.harmonicApprox(g, m = 64, maxH = 3)
       exact.join(est, Seq("vid"))
+        // roots with exact harmonic 0 (nothing reaches them) are dropped on
+        // BOTH sides: the oracle's `WHERE d > 0 GROUP BY root` never emits
+        // them, and the relative-error ratio is undefined there
+        .filter(col("harmonic") > 0)
         .select(col("vid"), round(col("harmonic"), 6).as("harmonic"),
           (abs(col("harmonic_est") - col("harmonic")) / col("harmonic") <= 0.25)
             .as("hb_ok"))

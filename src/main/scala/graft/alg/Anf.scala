@@ -42,6 +42,34 @@ import graft.core.{Adjacency, Graph, Lineage, StepResult, Superstep}
  */
 object Anf {
 
+  /** (vid, r0..r{m-1}) initial registers: bucket + rank from two
+   * independent hashes of the vertex id; the second hash folds to 32 bits
+   * so bin(w) has ≤ 32 digits and ρ ≤ 33 fits any register. */
+  private def initRegisters(verts: DataFrame, m: Int, regs: Seq[String]): DataFrame = {
+    val j = pmod(xxhash64(col(Graph.VID)), lit(m.toLong))
+    val w = pmod(xxhash64(col(Graph.VID), lit(1L)), lit(4294967296L))
+    val rho = when(w === 0, lit(33)).otherwise(lit(33) - length(bin(w)))
+    verts.select(
+      col(Graph.VID) +: regs.zipWithIndex.map { case (c, i) =>
+        when(j === i, rho).otherwise(lit(0)).cast("int").as(c)
+      }: _*)
+  }
+
+  /** One scatter: per vertex, the register-wise max over its in-edges'
+   * sources (each vertex offers its registers to its out-neighbors), named
+   * `m_r*`; max() partial-aggregates map-side (outbox combine). */
+  private def scatterMax(adj: DataFrame, state: DataFrame, regs: Seq[String]): DataFrame =
+    adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
+      .select(explode(col("nbrs")).as(Graph.VID) +: regs.map(col): _*)
+      .groupBy(Graph.VID)
+      .agg(max(regs.head).as(s"m_${regs.head}"),
+        regs.tail.map(c => max(c).as(s"m_$c")): _*)
+
+  /** Register merge after the scatter join: greatest(own, scattered-or-0)
+   * per register (the ball contains the previous ball). */
+  private def mergeExprs(regs: Seq[String]): Seq[Column] =
+    regs.map(c => greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c))
+
   /** HLL estimate of |B(v,h)| from one row's registers (raw estimator +
    * linear-counting small-range correction, Flajolet et al. 2007). */
   private def estimator(m: Int, regs: Seq[String]): Column = {
@@ -88,17 +116,7 @@ object Anf {
     val e = edges.count()
 
     val regs = (0 until m).map(i => s"r$i")
-    // bucket + rank from two independent hashes of the vertex id; w is
-    // folded to 32 bits so bin(w) has <= 32 digits and ρ <= 33 fits any
-    // register comfortably
-    val j = pmod(xxhash64(col(Graph.VID)), lit(m.toLong))
-    val w = pmod(xxhash64(col(Graph.VID), lit(1L)), lit(4294967296L))
-    val rho = when(w === 0, lit(33)).otherwise(lit(33) - length(bin(w)))
-    val init = verts.select(
-      col(Graph.VID) +: regs.zipWithIndex.map { case (c, i) =>
-        when(j === i, rho).otherwise(lit(0)).cast("int").as(c)
-      }: _*)
-
+    val init = initRegisters(verts, m, regs)
     val ballEst: Column = estimator(m, regs)
 
     val history = ListBuffer[Double](v.toDouble) // N(0) = |V|, exact
@@ -124,17 +142,9 @@ object Anf {
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxH, checkpointDir = checkpointDir,
         resume = resume, verbose = verbose)) { (state, _) =>
-      // scatter: each vertex offers its registers to its out-neighbors;
-      // max() per register partial-aggregates map-side (outbox combine)
-      val msgs = adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
-        .select(explode(col("nbrs")).as(Graph.VID) +: regs.map(col): _*)
-        .groupBy(Graph.VID)
-        .agg(max(regs.head).as(s"m_${regs.head}"),
-          regs.tail.map(c => max(c).as(s"m_$c")): _*)
-      // merge with own registers (the ball contains the previous ball)
+      val msgs = scatterMax(adj, state, regs)
       val next = state.join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
-        .select(col(Graph.VID) +: regs.map(c =>
-          greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c)): _*)
+        .select(col(Graph.VID) +: mergeExprs(regs): _*)
       val cut = Lineage.cut(next)
       val nh = cut.agg(sum(ballEst)).collect()(0).getDouble(0)
       val prev = history.last
@@ -227,14 +237,8 @@ object Anf {
     adj.count()
     val e = edges.count()
     val regs = (0 until m).map(i => s"r$i")
-    val j = pmod(xxhash64(col(Graph.VID)), lit(m.toLong))
-    val w = pmod(xxhash64(col(Graph.VID), lit(1L)), lit(4294967296L))
-    val rho = when(w === 0, lit(33)).otherwise(lit(33) - length(bin(w)))
     val est = estimator(m, regs)
-    val init0 = Graph.vertices(edges).select(
-      col(Graph.VID) +: regs.zipWithIndex.map { case (c, i) =>
-        when(j === i, rho).otherwise(lit(0)).cast("int").as(c)
-      }: _*)
+    val init0 = initRegisters(Graph.vertices(edges), m, regs)
     // prev = |B(v,0)| estimate (the singleton baseline absorbs the HLL
     // small-range bias: only GROWTH beyond it earns harmonic mass)
     val init = init0.select(col(Graph.VID) +: regs.map(col) :+
@@ -243,15 +247,9 @@ object Anf {
     var lastTotal = Double.NaN
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxH, verbose = verbose)) { (state, h) =>
-      val msgs = adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
-        .select(explode(col("nbrs")).as(Graph.VID) +: regs.map(col): _*)
-        .groupBy(Graph.VID)
-        .agg(max(regs.head).as(s"m_${regs.head}"),
-          regs.tail.map(c => max(c).as(s"m_$c")): _*)
-      val mergedRegs = regs.map(c =>
-        greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c))
+      val msgs = scatterMax(adj, state, regs)
       val merged = state.join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
-        .select(col(Graph.VID) +: mergedRegs :+ col("prev") :+ col("hc"): _*)
+        .select(col(Graph.VID) +: mergeExprs(regs) :+ col("prev") :+ col("hc"): _*)
         .select(col(Graph.VID) +: regs.map(col) :+ est.as("__est") :+
           col("prev") :+ col("hc"): _*)
         .select(col(Graph.VID) +: regs.map(col) :+ col("__est").as("prev") :+

@@ -150,8 +150,15 @@ object LinkPrediction {
     val e = graft.core.Lineage.cut(
       edges.select(col(Graph.SRC), col(Graph.DST))
         .filter(col(Graph.SRC) =!= col(Graph.DST)).distinct())
-    val fan = e.groupBy(Graph.SRC).agg(count(lit(1)).as("__fan"))
-    val piv = e.join(fan.filter(col("__fan") <= maxPivotDegree), Seq(Graph.SRC))
+    // the cap join only exists to drop hub pivots — at the exact/uncapped
+    // default it would be a full-edge-set aggregate + join that keeps
+    // every row (the degree is never read again; Jaccard uses `ind`)
+    val piv =
+      if (maxPivotDegree == Int.MaxValue) e
+      else {
+        val fan = e.groupBy(Graph.SRC).agg(count(lit(1)).as("__fan"))
+        e.join(fan.filter(col("__fan") <= maxPivotDegree), Seq(Graph.SRC))
+      }
     val wedges = piv.select(col(Graph.SRC).as("w"), col(Graph.DST).as("a"))
       .join(piv.select(col(Graph.SRC).as("w"), col(Graph.DST).as("b")), Seq("w"))
       .filter(col("a") < col("b"))

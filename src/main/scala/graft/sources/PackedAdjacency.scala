@@ -66,6 +66,9 @@ object PackedAdjacency {
       var more = true
       while (more) {
         require(pos < bytes.length, s"truncated packed adjacency at neighbor $i of $n")
+        // JVM long shifts are mod 64 — an over-long (corrupt) varint would
+        // otherwise wrap and decode to a WRONG id instead of failing
+        require(shift < 64, s"over-long varint at neighbor $i (corrupt cell)")
         val b = bytes(pos); pos += 1
         v |= (b & 0x7fL) << shift
         shift += 7
@@ -114,8 +117,12 @@ object PackedAdjacency {
   /** (sources, edges, packedBytes, rawBytes = 8·edges): the compression
    * ledger — one aggregate, no collect of data. */
   def stats(packed: Dataset[PackedRow]): (Long, Long, Long, Long) = {
+    // sums over zero rows are SQL NULL — coalesce so an empty graph reports
+    // a zero ledger instead of an unboxing NPE
     val r = packed.agg(
-      count(lit(1)), sum(col("n")), sum(length(col("packed")))).collect()(0)
+      count(lit(1)),
+      coalesce(sum(col("n")), lit(0L)),
+      coalesce(sum(length(col("packed"))), lit(0L))).collect()(0)
     val edges = r.getLong(1)
     (r.getLong(0), edges, r.getLong(2), 8L * edges)
   }
