@@ -66,6 +66,8 @@ object Bench {
   // q_label_prop_pruned_full (full-convergence run of the top-16-pruned
   // scale path — the same algorithm the oracle-checked fixed-iteration
   // q_label_prop_pruned exercises) represents label propagation here.
+  // q_diameter is not benched: it is exactly 2× q_bfs by construction
+  // (two sweeps over the same graph) plus two O(1) TakeOrdered probes.
   // q_hits / q_ppr / q_ktruss / q_harmonic / q_random_walk /
   // q_event_windows / q_sessionize joined the list in round 3 (new
   // operators) — when comparing totals across rounds, compare per-query
@@ -95,7 +97,9 @@ object Bench {
     "q_hyperball", "q_cocitation", "q_coupling",
     "q_neg_sample", "q_khop_sample",
     "q_mis", "q_matching", "q_msf",
-    "q_dedup_exact", "q_minhash_sig", "q_simhash",
+    // q_winnow: MOSS winnowing fingerprints — one narrow per-doc array
+    // pass (no exchange); benches the O(L·w) window-selection codegen
+    "q_dedup_exact", "q_minhash_sig", "q_simhash", "q_winnow",
     "q_ann_topk", "q_margin_mine", "q_embed_smooth", "q_pca_cov", "q_quantize",
     "q_token_stats", "q_lang_id", "q_quality", "q_chunk",
     "q_event_windows", "q_event_sliding", "q_sessionize", "q_interval_join", "q_ngram_jaccard",

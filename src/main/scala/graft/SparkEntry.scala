@@ -230,6 +230,11 @@ object SparkEntry {
     "q_clustering_coeff" -> ((s, dir) =>
       graft.alg.TriangleCount.clusteringCoefficient(eMOD(s, dir))
         .select(col("vid"), round(col("coefficient"), 6).as("coefficient"))),
+    "q_diameter" -> ((s, dir) =>
+      // double-sweep diameter lower bound on the undirected part–supplier
+      // graph: 2 BFS jobs + two O(1) TakeOrdered probes; min-id tie-breaks
+      // make the sweep pair deterministic (oracle replays both sweeps)
+      graft.alg.Traversals.doubleSweepDiameter(Graph.undirected(ePS(s, dir)))),
     "q_bfs" -> ((s, dir) => {
       val e = Graph.undirected(ePS(s, dir))
       val source = lineitem(s, dir).agg(min("l_partkey")).collect()(0).getLong(0)
@@ -1136,6 +1141,12 @@ object SparkEntry {
       val sig = graft.dedup.MinHash.md5Signatures(documents(s, dir), k = 8, n = 5)
       sig.select(col("doc_id") +: (0 until 8).map(i => col("sig")(i).as(s"h$i")): _*)
     }),
+    "q_winnow" -> ((s, dir) =>
+      // winnowing fingerprints (MOSS, Schleimer et al. 2003): per-window
+      // rightmost-min of md5 k-gram hashes — one narrow per-doc pass, zero
+      // exchange; any shared substring of length ≥ w+k−1 = 11 shares a
+      // fingerprint (locality spec-checked in WinnowSpec)
+      graft.dedup.Winnow.fingerprints(documents(s, dir), k = 8, w = 4)),
     "q_simhash" -> ((s, dir) =>
       // md5 hash family (same statistics as the production xxhash64 family,
       // reproducible in DuckDB); fingerprint rendered as its 64-bit string
@@ -2929,6 +2940,22 @@ object SparkEntry {
     "q_triad_census" -> triadCensusSql,
     "q_clustering_coeff" -> clusteringSql,
     "q_bfs" -> bfsSql,
+    "q_diameter" -> s"""
+      WITH RECURSIVE e0 AS ($SqlEPS),
+      und AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      w1(v, d) AS (
+        SELECT (SELECT MIN(src) FROM und) AS v, 0 AS d
+        UNION
+        SELECT und.dst, w1.d + 1 FROM w1 JOIN und ON w1.v = und.src WHERE w1.d < 15),
+      d1 AS (SELECT v, MIN(d) AS d FROM w1 GROUP BY v),
+      u AS (SELECT v FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
+      w2(v, d) AS (
+        SELECT (SELECT v FROM u) AS v, 0 AS d
+        UNION
+        SELECT und.dst, w2.d + 1 FROM w2 JOIN und ON w2.v = und.src WHERE w2.d < 15),
+      d2 AS (SELECT v, MIN(d) AS d FROM w2 GROUP BY v)
+      SELECT (SELECT v FROM u) AS u, v, CAST(d AS BIGINT) AS diameter_lb
+      FROM d2 ORDER BY d DESC, v ASC LIMIT 1""",
     "q_sssp" -> ssspSql,
     // delta-stepping reaches the identical fixpoint — same oracle by design
     "q_sssp_delta" -> ssspSql,
@@ -3302,6 +3329,23 @@ object SparkEntry {
       FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id""",
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_minhash_sig" -> minhashSigSql,
+    "q_winnow" -> """
+      WITH norm AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+                    FROM documents),
+      g AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS p, md5(substring(t, i, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, GREATEST(length(t) - 7, 0))) AS u(i)),
+      sz AS (SELECT doc_id, COUNT(*) AS m FROM g GROUP BY doc_id),
+      wins AS (SELECT doc_id, CAST(j AS BIGINT) AS j
+               FROM sz, UNNEST(generate_series(1, GREATEST(m - 3, 1))) AS u(j)),
+      wm AS (SELECT w.doc_id, w.j, MIN(g.h) AS mh
+             FROM wins w JOIN g ON g.doc_id = w.doc_id AND g.p BETWEEN w.j AND w.j + 3
+             GROUP BY 1, 2),
+      sel AS (SELECT wm.doc_id, MAX(g.p) AS pos, wm.mh AS fp
+              FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.mh
+                            AND g.p BETWEEN wm.j AND wm.j + 3
+              GROUP BY wm.doc_id, wm.j, wm.mh)
+      SELECT DISTINCT doc_id, pos, fp FROM sel""",
     "q_dedup_incremental" -> {
       val eq = (0 until 8).map(i => s"(n.h$i = o.h$i)")
       val bandHit = (0 until 4).map(b =>

@@ -27,8 +27,14 @@ import graft.core.{Graph, StepResult, Superstep}
  * endpoints (one Exchange, map-side combined), one V-sized self-join of the
  * argmin table (the mutual test), and two live-set joins marking selected/
  * dead edges — no windows, no driver-side loops; the live set shrinks
- * geometrically like a peeling round in [[Cores]], and only the live set is
- * ever re-materialized (matched edges accumulate in per-round cut frames).
+ * geometrically like a peeling round in [[Cores]]. Matched edges ride the
+ * superstep STATE (a `__st` flag column) instead of per-round accumulator
+ * frames: one lineage cut per round materializes selected + still-live rows
+ * together, where the two-frame shape executed the whole argmin/mutual-test
+ * pipeline TWICE per round (once per cut — Spark shares no work across
+ * separate actions). Matched rows are final and only O(V) total, so
+ * re-materializing them with each shrinking live set keeps per-round output
+ * O(V + live).
  */
 object Matching {
 
@@ -55,19 +61,18 @@ object Matching {
       .distinct()
     val verts = Graph.vertices(edges)
 
-    // state = LIVE edges only: matched edges leave the loop into per-round
-    // accumulator frames, so each superstep materializes O(live) rows (the
-    // live set shrinks geometrically) instead of rewriting all E rows. The
+    // state = matched rows (__st = 1, final) + LIVE rows (__st = 0); dead
+    // edges (a matched endpoint, not selected) are dropped. One cut per
+    // round materializes both views together — see the scaladoc. The
     // per-vertex ARGMIN (pk, partner) makes the mutual-minimum test a join
-    // of two V-sized frames — the old shape re-joined the full live set
-    // against the selected edges and the matched-vertex set (3 extra
-    // E-sized hash joins per round).
-    val init = ce.select(col("a"), col("b"), edgeKey(col("a"), col("b")).as("pk"))
+    // of two V-sized frames.
+    val init = ce.select(col("a"), col("b"),
+      edgeKey(col("a"), col("b")).as("pk"), lit(0).as("__st"))
 
-    val matchedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var carriedLive: Option[Long] = None
     val outcome = Superstep.run(init,
-      Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (live, _) =>
+      Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (state, _) =>
+      val live = state.filter(col("__st") === 0)
       val liveBefore = carriedLive.getOrElse(live.count())
       // per-vertex argmin live incident edge: (vid, its min pk, partner)
       val vmin = live
@@ -88,22 +93,21 @@ object Matching {
           .hint("shuffle_hash"), col("a") === col("__ma"), "left")
         .join(mv.select(col("__mv").as("__mb"), col("mpk").as("__pkb"))
           .hint("shuffle_hash"), col("b") === col("__mb"), "left")
-      // both endpoints matched via THIS edge -> selected; any matched
-      // endpoint -> the edge leaves the live set
-      val sel = graft.core.Lineage.cut(
-        joined.filter(col("__pka") === col("pk") && col("__pkb") === col("pk"))
-          .select(col("a"), col("b")))
-      matchedFrames += sel
-      val nextLive = graft.core.Lineage.cut(
-        joined.filter(col("__pka").isNull && col("__pkb").isNull)
-          .select(col("a"), col("b"), col("pk")))
-      val liveAfter = nextLive.count()
+      // both endpoints matched via THIS edge -> selected (__st = 1); any
+      // matched endpoint -> dead, dropped; neither -> still live (__st = 0)
+      val step = joined.select(col("a"), col("b"), col("pk"),
+        when(col("__pka") === col("pk") && col("__pkb") === col("pk"), lit(1))
+          .when(col("__pka").isNull && col("__pkb").isNull, lit(0))
+          .as("__st"))
+        .filter(col("__st").isNotNull)
+      val next = graft.core.Lineage.cut(
+        state.filter(col("__st") === 1).unionByName(step))
+      val liveAfter = next.filter(col("__st") === 0).count()
       carriedLive = Some(liveAfter)
-      StepResult(nextLive, liveBefore, converged = liveAfter == 0L)
+      StepResult(next, liveBefore, converged = liveAfter == 0L)
     }
 
-    val matching = matchedFrames.reduceOption(_ unionByName _)
-      .getOrElse(outcome.state.limit(0).select(col("a"), col("b")))
+    val matching = outcome.state.filter(col("__st") === 1).select(col("a"), col("b"))
     Result(matching, matesView(verts, matching), outcome.metrics)
   }
 

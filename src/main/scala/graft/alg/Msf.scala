@@ -61,7 +61,10 @@ object Msf {
       .union(ce.select(col("b").as(Graph.VID))).distinct()
       .select(col(Graph.VID), col(Graph.VID).as("comp"))
 
-    var forest: DataFrame = Lineage.cut(ce.select("a", "b", "w").limit(0))
+    // per-phase selected-edge frames, unioned once at the end: cutting
+    // forest ∪ sel each phase re-materialized the whole growing forest
+    // O(phases) times (O(V log V) rows total rewritten for nothing)
+    val forestFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (lab, _) =>
@@ -88,12 +91,11 @@ object Msf {
           .filter(col("key") === col("mk"))
           .select(col("comp").as("c"), col("partner").as("p"), col("key"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // forest gains every edge that is some component's minimum
-        val sel = live.join(own.select("key").distinct().hint("shuffle_hash"), Seq("key"))
-          .select(col("a"), col("b"), col("w"))
-        val grown = Lineage.cut(forest.unionByName(sel))
-        Lineage.release(forest)
-        forest = grown
+        // forest gains every edge that is some component's minimum — cut
+        // NOW (live and own unpersist at phase end), unioned at the end
+        forestFrames += Lineage.cut(
+          live.join(own.select("key").distinct().hint("shuffle_hash"), Seq("key"))
+            .select(col("a"), col("b"), col("w")))
 
         // contraction: functional graph c -> p; a mutual pair (the globally
         // minimal edge of its component, always selected by both sides)
@@ -126,6 +128,8 @@ object Msf {
       }
     }
     ce.unpersist(blocking = false)
+    val forest = forestFrames.reduceOption(_ unionByName _)
+      .getOrElse(Lineage.cut(ce.select("a", "b", "w").limit(0)))
     Result(forest, outcome.metrics)
   }
 }

@@ -210,6 +210,28 @@ object Traversals {
       .groupBy(col("root").as(Graph.VID))
       .agg(max("dist").cast("int").as("eccentricity"))
 
+  /** Double-sweep diameter lower bound (Magnien, Latapy & Habib, "Fast
+   * computation of empirically tight bounds for the diameter of massive
+   * graphs", JEA 2009 — public): BFS from the minimum vertex id, then BFS
+   * from the farthest vertex found (ties to the smallest id); the second
+   * sweep's eccentricity lower-bounds the diameter, and on real web/social
+   * graphs is typically tight or 1 off. Deterministic by the min-id
+   * tie-breaks, so an oracle replays it exactly. `edges` should be
+   * undirected (both directions present). Two [[bfs]] jobs plus two
+   * O(1)-row TakeOrdered probes — no new plan machinery. Returns one row
+   * (u, v, diameter_lb): u the first sweep's farthest vertex, v the
+   * farthest from u. */
+  def doubleSweepDiameter(edges: DataFrame): DataFrame = {
+    val s0 = edges.agg(min(col(Graph.SRC))).collect()(0).getLong(0)
+    val u = bfs(edges, s0).state
+      .orderBy(col("cost").desc, col(Graph.VID).asc).limit(1)
+      .collect()(0).getLong(0)
+    bfs(edges, u).state
+      .orderBy(col("cost").desc, col(Graph.VID).asc).limit(1)
+      .select(lit(u).as("u"), col(Graph.VID).as("v"),
+        col("cost").cast("long").as("diameter_lb"))
+  }
+
   def harmonic(edges: DataFrame, sources: Seq[Long]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

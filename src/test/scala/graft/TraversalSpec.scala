@@ -21,6 +21,35 @@ class TraversalSpec extends SparkSpec {
     }
   }
 
+  test("double-sweep diameter: exact on a path, tie-breaks deterministic") {
+    // undirected path 1-2-3-4-5: sweep 1 from vid 1 finds 5 (d=4); sweep 2
+    // from 5 finds 1 at distance 4 = the true diameter
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r1 = Traversals.doubleSweepDiameter(path).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == (5L, 1L, 4L))
+    // star around 0: all eccentricities ≤ 2; both sweeps end at leaves,
+    // min-id ties — sweep 1 from 0 picks leaf 1, sweep 2 picks leaf 2
+    val star = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r2 = Traversals.doubleSweepDiameter(star).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == (1L, 2L, 2L))
+  }
+
+  test("double-sweep diameter lower-bounds and usually matches exact on RMAT") {
+    val edges = graft.core.Graph.undirected(GraphGen.rmat(spark, 6, 4, seed = 11)).cache()
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vmax = es.flatMap(e => Seq(e._1, e._2)).max.toInt + 1
+    // exact diameter of the component containing min vid (what the double
+    // sweep explores), via per-source reference BFS
+    val comp = Reference.bfs(vmax, es, es.map(_._1).min.toInt)
+    val inComp = (0 until vmax).filter(comp(_) >= 0)
+    val exact = inComp.map { s =>
+      val d = Reference.bfs(vmax, es, s); inComp.map(d(_)).max
+    }.max
+    val lb = Traversals.doubleSweepDiameter(edges).collect()(0).getLong(2)
+    assert(lb <= exact && lb >= exact - 1, s"lb=$lb exact=$exact")
+  }
+
   test("BFS tree: parents are valid predecessors, source is own parent") {
     val edges = GraphGen.chain(spark, 12)
     val tree = toMap[Long](Traversals.bfsTree(edges, 3L).state)
