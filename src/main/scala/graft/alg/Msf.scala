@@ -25,10 +25,15 @@ import graft.core.{Graph, Lineage, StepResult, Superstep}
  * frame whose size at phase p is at most V/2^(p-1) — components at least
  * halve per phase, so phases are O(log V) and late phases are near-free.
  *
- * Scale shape: the per-phase work is two hash joins of the static edge
- * table against the vertex-label frame plus one map-side-combined min
- * aggregate — the PageRank/WCC plan family; the pointer-doubling loop
- * never touches the edge table.
+ * Scale shape: the superstep state is the LIVE inter-component edge list
+ * itself, carrying endpoint component labels — an edge internal once is
+ * internal forever (components only merge), so each phase's work is one
+ * map-side-combined min aggregate over the live set plus a relabel join
+ * against the O(#merged)-row roots map, all O(live) with live shrinking
+ * phase over phase (the old shape re-joined the full static edge table
+ * against a V-sized label frame every phase). The pointer-doubling loop
+ * never touches the edge table, and the phase that empties the live set
+ * reports convergence directly — no trailing sentinel phase.
  */
 object Msf {
 
@@ -55,32 +60,29 @@ object Msf {
       .groupBy("a", "b").agg(min("w").as("w"))
       .select(col("a"), col("b"), col("w"),
         edgeKey(col("w"), col("a"), col("b")).as("key"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val init = ce.select(col("a").as(Graph.VID))
-      .union(ce.select(col("b").as(Graph.VID))).distinct()
-      .select(col(Graph.VID), col(Graph.VID).as("comp"))
+    // state = LIVE inter-component edges carrying their endpoint component
+    // labels (ca, cb). An edge internal once (ca = cb) is internal forever
+    // — components only merge — so each phase relabels the SHRINKING live
+    // set through the O(#merged)-row roots map instead of re-joining the
+    // full static edge table against a V-sized label frame (the old shape:
+    // 2 E-sized hash joins per phase regardless of how little was live).
+    // The final vertex labels are never needed — [[run]] returns the
+    // forest, and selected edges turn internal and drop out on their own.
+    val init = ce.select(col("a"), col("b"), col("w"), col("key"),
+      col("a").as("ca"), col("b").as("cb"))
 
     // per-phase selected-edge frames, unioned once at the end: cutting
     // forest ∪ sel each phase re-materialized the whole growing forest
     // O(phases) times (O(V log V) rows total rewritten for nothing)
     val forestFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
+    var carriedLive: Option[Long] = None
     val outcome = Superstep.run(init,
-      Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (lab, _) =>
-      val live = ce
-        .join(lab.select(col(Graph.VID).as("a"), col("comp").as("ca"))
-          .hint("shuffle_hash"), Seq("a"))
-        .join(lab.select(col(Graph.VID).as("b"), col("comp").as("cb"))
-          .hint("shuffle_hash"), Seq("b"))
-        .filter(col("ca") =!= col("cb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val liveCount = live.count()
+      Superstep.Config(maxSupersteps = maxSupersteps, verbose = verbose)) { (live, _) =>
+      val liveCount = carriedLive.getOrElse(live.count())
       if (liveCount == 0L) {
-        // fixpoint probe: the phase that merged the last pair already ran —
-        // this is the WCC-style +1 sentinel step (zero traversed edges)
-        live.unpersist(blocking = false)
-        StepResult(lab, 0L, converged = true)
+        StepResult(live, 0L, converged = true)
       } else {
         // per-component minimum live edge key, and via key-equality join
         // back, the partner component across that edge
@@ -99,13 +101,20 @@ object Msf {
 
         // contraction: functional graph c -> p; a mutual pair (the globally
         // minimal edge of its component, always selected by both sides)
-        // anchors at its smaller id, then pointer doubling to the fixpoint
-        var par = Lineage.cut(own
+        // anchors at its smaller id, then pointer doubling to the fixpoint.
+        // The anchored map and its FIRST doubling ride one cut (`own` is
+        // persisted, so the self-joined sub-plan re-reads cache): a phase
+        // with chain depth ≤ 2 — the common case — skips the loop entirely
+        val par0 = own
           .join(own.select(col("c").as("__p2"), col("p").as("gp")),
             col("p") === col("__p2"))
           .select(col("c"),
             when(col("gp") === col("c") && col("c") < col("p"), col("c"))
-              .otherwise(col("p")).as("p")))
+              .otherwise(col("p")).as("p"))
+        var par = Lineage.cut(par0
+          .join(par0.select(col("c").as("__q2"), col("p").as("__qp"))
+            .hint("shuffle_hash"), col("p") === col("__q2"))
+          .select(col("c"), col("__qp").as("p")))
         var changed = 1L
         while (changed > 0L) {
           val next = Lineage.cut(par
@@ -117,17 +126,25 @@ object Msf {
           Lineage.release(par)
           par = next
         }
-        val roots = par.select(col("c").as("comp"), col("p").as("root"))
-        val relabeled = Lineage.cut(lab
-          .join(roots.hint("shuffle_hash"), Seq("comp"), "left")
-          .select(col(Graph.VID), coalesce(col("root"), col("comp")).as("comp")))
+        // relabel the live set through the roots map (every component with
+        // a live edge has an `own` row, so both lookups always hit) and
+        // drop freshly-internal edges — selected ones become internal by
+        // construction, so no separate dead-marking join is needed
+        val roots = par.select(col("c"), col("p"))
+        val relabeled = Lineage.cut(live
+          .join(roots.select(col("c").as("ca"), col("p").as("__ra"))
+            .hint("shuffle_hash"), Seq("ca"))
+          .join(roots.select(col("c").as("cb"), col("p").as("__rb"))
+            .hint("shuffle_hash"), Seq("cb"))
+          .filter(col("__ra") =!= col("__rb"))
+          .select(col("a"), col("b"), col("w"), col("key"),
+            col("__ra").as("ca"), col("__rb").as("cb")))
+        carriedLive = Some(relabeled.count())
         Lineage.release(par)
         own.unpersist(blocking = false)
-        live.unpersist(blocking = false)
-        StepResult(relabeled, liveCount, converged = false)
+        StepResult(relabeled, liveCount, converged = carriedLive.contains(0L))
       }
     }
-    ce.unpersist(blocking = false)
     val forest = forestFrames.reduceOption(_ unionByName _)
       .getOrElse(Lineage.cut(ce.select("a", "b", "w").limit(0)))
     Result(forest, outcome.metrics)

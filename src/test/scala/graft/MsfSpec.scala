@@ -92,8 +92,10 @@ class MsfSpec extends SparkSpec {
     val in = df.select(col("src"), col("dst"), ((a * 7 + b * 13) % 1000).as("weight"))
     val r1 = Msf.run(in); val r2 = Msf.run(in)
     assert(forestOf(r1.forest) == forestOf(r2.forest))
-    // last metrics row is the zero-edge convergence probe (documented)
-    assert(r1.metrics.last.converged && r1.metrics.last.edgesTraversed == 0L)
+    // the phase that empties the live set reports convergence directly —
+    // no trailing zero-edge sentinel phase (the live set IS the state)
+    assert(r1.metrics.last.converged && r1.metrics.last.edgesTraversed > 0L)
+    assert(r1.metrics.count(_.converged) == 1)
     assert(r1.metrics.size >= 2)
   }
 }
