@@ -103,8 +103,9 @@ object Msf {
         // minimal edge of its component, always selected by both sides)
         // anchors at its smaller id, then pointer doubling to the fixpoint.
         // The anchored map and its FIRST doubling ride one cut (`own` is
-        // persisted, so the self-joined sub-plan re-reads cache): a phase
-        // with chain depth ≤ 2 — the common case — skips the loop entirely
+        // persisted, so the self-joined sub-plan re-reads cache) and carry
+        // the change flag, so a phase with chain depth ≤ 2 — the common
+        // case — skips the loop entirely
         val par0 = own
           .join(own.select(col("c").as("__p2"), col("p").as("gp")),
             col("p") === col("__p2"))
@@ -114,8 +115,9 @@ object Msf {
         var par = Lineage.cut(par0
           .join(par0.select(col("c").as("__q2"), col("p").as("__qp"))
             .hint("shuffle_hash"), col("p") === col("__q2"))
-          .select(col("c"), col("__qp").as("p")))
-        var changed = 1L
+          .select(col("c"), col("__qp").as("p"),
+            (col("p") =!= col("__qp")).as("__ch")))
+        var changed = par.filter(col("__ch")).count()
         while (changed > 0L) {
           val next = Lineage.cut(par
             .join(par.select(col("c").as("__p2"), col("p").as("__pp"))

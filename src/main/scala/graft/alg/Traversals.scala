@@ -222,7 +222,12 @@ object Traversals {
    * (u, v, diameter_lb): u the first sweep's farthest vertex, v the
    * farthest from u. */
   def doubleSweepDiameter(edges: DataFrame): DataFrame = {
-    val s0 = edges.agg(min(col(Graph.SRC))).collect()(0).getLong(0)
+    val row = edges.agg(min(col(Graph.SRC))).collect()(0)
+    if (row.isNullAt(0)) // edge-free graph: no sweeps, no diameter
+      return edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("u"), lit(0L).as("v"), lit(0L).as("diameter_lb"))
+        .limit(0)
+    val s0 = row.getLong(0)
     val u = bfs(edges, s0).state
       .orderBy(col("cost").desc, col(Graph.VID).asc).limit(1)
       .collect()(0).getLong(0)

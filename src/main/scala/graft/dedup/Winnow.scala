@@ -79,8 +79,19 @@ object Winnow {
           when(acc.getField("h").isNull || h <= acc.getField("h"),
             struct(h.as("h"), i.cast("long").as("p"))).otherwise(acc)
         }))
+    // the selected position is monotone non-decreasing as the window
+    // slides (the rightmost-min can only stay or move right), so repeats
+    // are ADJACENT runs — a linear keep-if-differs-from-predecessor pass
+    // dedupes exactly. array_distinct on array<struct> would fall off
+    // Spark's hash-set fast path (structs lack typeWithProperEquals) into
+    // O(windows²) pairwise scans per document.
+    // when/otherwise, not ||: OR operands are not guaranteed lazy under
+    // codegen, and element_at(s, 0) (first window's "predecessor") throws
+    val deduped = TextAnalysis.bindOnce(selected)(s =>
+      filter(s, (x, i) => when(i === 0, lit(true))
+        .otherwise(x.getField("p") =!= element_at(s, i).getField("p"))))
     grams
-      .select(col(id), explode(array_distinct(selected)).as("__s"))
+      .select(col(id), explode(deduped).as("__s"))
       .select(col(id), col("__s.p").as("pos"), col("__s.h").as("fp"))
   }
 }

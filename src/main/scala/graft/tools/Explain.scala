@@ -108,30 +108,37 @@ object Explain {
         element_at(col("nbrs"), (pmod(col("__i"), lit(chunkSize)) + 1).cast("int")).as("vid"))
       .explain("formatted")
 
-    println("==== Boruvka MSF phase: edges ⋈ labels ×2 -> per-comp min-key ====")
-    // mirrors one Msf.run phase's heavy half (the part that touches the
-    // edge table); the contraction loop below never does
+    println("==== Boruvka MSF phase: live-set min-key agg + roots relabel ====")
+    // mirrors one Msf.run phase over the LIVE edge-list state (round-4
+    // shape: the state carries endpoint component labels; no phase ever
+    // re-joins the full edge table against a vertex-label frame)
     val aC = least(col("src"), col("dst")); val bC = greatest(col("src"), col("dst"))
-    val we = edges.filter(col("src") =!= col("dst"))
+    val liveState = edges.filter(col("src") =!= col("dst"))
       .select(aC.as("a"), bC.as("b"), ((aC * 7 + bC * 13) % 1000).as("w"))
       .groupBy("a", "b").agg(min("w").as("w"))
-      .select(col("a"), col("b"),
-        (col("w") * 4398046511104L + col("a") * 2097152L + col("b")).as("key"))
+      .select(col("a"), col("b"), col("w"),
+        (col("w") * 4398046511104L + col("a") * 2097152L + col("b")).as("key"),
+        col("a").as("ca"), col("b").as("cb"))
       .persist()
-    we.count()
-    val lab = Graph.vertices(edges).select(col("vid"), col("vid").as("comp")).persist()
-    lab.count()
-    val live = we
-      .join(lab.select(col("vid").as("a"), col("comp").as("ca")).hint("shuffle_hash"), Seq("a"))
-      .join(lab.select(col("vid").as("b"), col("comp").as("cb")).hint("shuffle_hash"), Seq("b"))
-      .filter(col("ca") =!= col("cb"))
-    live.select(col("ca").as("comp"), col("key"))
-      .unionByName(live.select(col("cb").as("comp"), col("key")))
+    liveState.count()
+    liveState.select(col("ca").as("comp"), col("key"))
+      .unionByName(liveState.select(col("cb").as("comp"), col("key")))
       .groupBy("comp").agg(min("key").as("mk"))
+      .explain("formatted")
+    val rootsM = liveState.select(col("ca").as("c"), least(col("ca"), col("cb")).as("p"))
+      .groupBy("c").agg(min("p").as("p")).persist()
+    rootsM.count()
+    liveState
+      .join(rootsM.select(col("c").as("ca"), col("p").as("__ra")).hint("shuffle_hash"), Seq("ca"))
+      .join(rootsM.select(col("c").as("cb"), col("p").as("__rb")).hint("shuffle_hash"), Seq("cb"))
+      .filter(col("__ra") =!= col("__rb"))
+      .select(col("a"), col("b"), col("w"), col("key"),
+        col("__ra").as("ca"), col("__rb").as("cb"))
       .explain("formatted")
 
     println("==== Boruvka MSF contraction: pointer-doubling self-join (comp-level, no edges) ====")
-    val par = lab.select(col("comp").as("c"), (col("comp") % 97).as("p")).persist()
+    val par = Graph.vertices(edges)
+      .select(col("vid").as("c"), (col("vid") % 97).as("p")).persist()
     par.count()
     par.join(par.select(col("c").as("__p2"), col("p").as("__pp")).hint("shuffle_hash"),
         col("p") === col("__p2"))
