@@ -449,7 +449,8 @@ object SparkEntry {
       // saturate at h=2) so both engines compare identical hops; m=64,
       // deterministic hashes ⇒ the measured relerr is a constant of the
       // data, floor 0.15.
-      val g = Graph.undirected(eMOD(s, dir))
+      // cut: the estimator and the exact expansion both multi-read g
+      val g = graft.core.Lineage.cut(Graph.undirected(eMOD(s, dir)))
       val est = graft.alg.Anf.run(g, m = 64, maxH = 3, relTol = 0.0).neighborhood
       graft.alg.Anf.exactNeighborhood(g, maxH = 3)
         .join(est, Seq("h"))
@@ -463,7 +464,13 @@ object SparkEntry {
       // estimator's per-root relative error in-plan (same floor-row pattern
       // as q_anf; deterministic hashes ⇒ the measured relerr is a constant
       // of the data). m=64, depth 3 — the mod graph's balls saturate at 2.
-      val g = Graph.undirected(eMOD(s, dir))
+      // cut: the undirected edge table feeds the exact multi-source BFS AND
+      // the HyperBall loop (adjacency build + edge count + vertex init) —
+      // uncut, the lineitem scan + distinct + both-directions union re-ran
+      // per consumer. Not released: the returned lazy join reads only cut
+      // descendants, and the weak-keyed backing map reclaims after GC (the
+      // LinkPrediction.scores precedent).
+      val g = graft.core.Lineage.cut(Graph.undirected(eMOD(s, dir)))
       val roots = eMOD(s, dir).select("src").distinct().orderBy("src").limit(3)
         .collect().map(_.getLong(0)).toSeq
       val exact = graft.alg.Traversals.harmonic(g, roots)

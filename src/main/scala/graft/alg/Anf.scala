@@ -109,11 +109,12 @@ object Anf {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (e0, ownE) = Graph.ensureCut(edges) // one upstream pass, not three
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count() // partition build is init-time, not alg_exec
-    val verts = Graph.vertices(edges)
+    val verts = Graph.vertices(e0)
     val v = verts.count()
-    val e = edges.count()
+    val e = e0.count()
 
     val regs = (0 until m).map(i => s"r$i")
     val init = initRegisters(verts, m, regs)
@@ -153,6 +154,7 @@ object Anf {
         converged = relTol > 0 && math.abs(nh - prev) <= relTol * prev)
     }
     adj.unpersist(blocking = false)
+    if (ownE) Lineage.release(e0)
 
     val target = quantile * history.last
     val hIdx = history.indexWhere(_ >= target)
@@ -233,12 +235,13 @@ object Anf {
                      maxH: Int = 30,
                      verbose: Boolean = false): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (e0, ownE) = Graph.ensureCut(edges) // one upstream pass, not three
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
-    val e = edges.count()
+    val e = e0.count()
     val regs = (0 until m).map(i => s"r$i")
     val est = estimator(m, regs)
-    val init0 = initRegisters(Graph.vertices(edges), m, regs)
+    val init0 = initRegisters(Graph.vertices(e0), m, regs)
     // prev = |B(v,0)| estimate (the singleton baseline absorbs the HLL
     // small-range bias: only GROWTH beyond it earns harmonic mass)
     val init = init0.select(col(Graph.VID) +: regs.map(col) :+
@@ -264,6 +267,7 @@ object Anf {
       StepResult(cut, edgesTraversed = e, converged = done)
     }
     adj.unpersist(blocking = false)
+    if (ownE) Lineage.release(e0)
     outcome.state.select(col(Graph.VID), col("hc").as("harmonic_est"))
   }
 }

@@ -70,8 +70,12 @@ object BowTie {
 
   /** (vid, region) for every vertex of the edge table. */
   def decompose(edges: DataFrame): DataFrame = {
-    val e = edges.select(col(Graph.SRC), col(Graph.DST))
-      .filter(col(Graph.SRC) =!= col(Graph.DST)).distinct()
+    // cut: the simple edge set feeds FOUR independent consumers (the SCC
+    // run, the vertex set, both adjacency builds) — uncut, each re-executed
+    // the upstream scan+distinct; at 10^12 pages that is four corpus passes
+    // for one derived table
+    val e = Lineage.cut(edges.select(col(Graph.SRC), col(Graph.DST))
+      .filter(col(Graph.SRC) =!= col(Graph.DST)).distinct())
     val allV = Lineage.cut(Graph.vertices(e))
 
     val scc = Lineage.cut(StronglyConnected.run(e))
@@ -116,7 +120,7 @@ object BowTie {
           .when(col("__fi") || col("__to"), Tendril)
           .otherwise(Disc).as("region"))
     val materialized = Lineage.cut(result)
-    Seq(scc, coreV, outV, inV, rem, fromIn, toOut, allV).foreach(Lineage.release)
+    Seq(e, scc, coreV, outV, inV, rem, fromIn, toOut, allV).foreach(Lineage.release)
     materialized
   }
 

@@ -125,14 +125,17 @@ object Centrality {
 
   private def perSource(edges: DataFrame, sources: Seq[Long], stress: Boolean): DataFrame = {
     val (roots, mult) = rootMultiplicity(sources)
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (e0, ownE) = Graph.ensureCut(edges) // adjacency + vertex passes share it
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     val levels = forward(adj, roots)
     val all = backward(adj, levels, stress, mult)
     levels.foreach(_.unpersist(blocking = false))
-    val verts = Graph.vertices(edges)
-    val res = verts.join(all, Seq(Graph.VID), "left")
-      .select(col(Graph.VID), coalesce(col("score"), lit(0.0)).as("score"))
+    val verts = Graph.vertices(e0)
+    val res = graft.core.Lineage.cut(
+      verts.join(all, Seq(Graph.VID), "left")
+        .select(col(Graph.VID), coalesce(col("score"), lit(0.0)).as("score")))
     adj.unpersist(blocking = false)
+    if (ownE) graft.core.Lineage.release(e0)
     res
   }
 
@@ -205,18 +208,21 @@ object Centrality {
    */
   def edgeBetweenness(edges: DataFrame, sources: Seq[Long]): DataFrame = {
     val (roots, mult) = rootMultiplicity(sources)
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (e0, ownE) = Graph.ensureCut(edges) // adjacency + base-edge passes share it
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     val levels = forward(adj, roots)
     // backwardEdges already aggregated to one row per (src, dst)
     val all = backwardEdges(adj, levels, mult)
       .withColumnRenamed("score", "edge_betweenness")
     levels.foreach(_.unpersist(blocking = false))
-    val base = edges.select(col(Graph.SRC), col(Graph.DST))
+    val base = e0.select(col(Graph.SRC), col(Graph.DST))
       .filter(col(Graph.SRC) =!= col(Graph.DST)).distinct()
-    val res = base.join(all, Seq(Graph.SRC, Graph.DST), "left")
-      .select(col(Graph.SRC), col(Graph.DST),
-        coalesce(col("edge_betweenness"), lit(0.0)).as("edge_betweenness"))
+    val res = graft.core.Lineage.cut(
+      base.join(all, Seq(Graph.SRC, Graph.DST), "left")
+        .select(col(Graph.SRC), col(Graph.DST),
+          coalesce(col("edge_betweenness"), lit(0.0)).as("edge_betweenness")))
     adj.unpersist(blocking = false)
+    if (ownE) graft.core.Lineage.release(e0)
     res
   }
 

@@ -3,7 +3,7 @@ package graft.alg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.core.{Adjacency, Graph, StepResult, Superstep}
+import graft.core.{Adjacency, Graph, Lineage, StepResult, Superstep}
 
 /**
  * Weakly connected components — HashMin label propagation with a delta
@@ -77,7 +77,10 @@ object ConnectedComponents {
           pointerJump: Boolean = false,
           warmStart: Option[DataFrame] = None,
           verbose: Boolean = false): Result = {
-    val und = Graph.undirected(edges)
+    // cut: the symmetrized edge set feeds the adjacency build AND the degree
+    // pass — uncut, each re-ran the union+distinct AND the upstream edge
+    // derivation (twice each, both directions): four corpus passes at scale
+    val und = Lineage.cut(Graph.undirected(edges))
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(und).persist(StorageLevel.MEMORY_AND_DISK)
     // V and ΣE from the (cached, loop-reused) degree table in ONE job — on a
@@ -160,6 +163,7 @@ object ConnectedComponents {
       StepResult(cut, trv, converged = post._2 == 0L)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    Lineage.release(und)
     Result(outcome.state.select(col(Graph.VID), col("comp").as("component")), outcome.metrics)
   }
 

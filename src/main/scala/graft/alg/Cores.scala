@@ -70,7 +70,8 @@ object Cores {
                checkpointDir: Option[String] = None,
                verbose: Boolean = false): CorenessResult = {
     import graft.core.{Adjacency, StepResult, Superstep}
-    val und = Graph.undirected(edges)
+    // cut: adjacency + degree passes share one materialized symmetrization
+    val und = graft.core.Lineage.cut(Graph.undirected(edges))
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(und).persist(StorageLevel.MEMORY_AND_DISK)
     val totalEdges = degs.agg(coalesce(sum("deg"), lit(0L))).collect()(0).getLong(0)
@@ -102,6 +103,7 @@ object Cores {
       StepResult(cut, totalEdges, converged = changedCount(cut) == 0L)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    graft.core.Lineage.release(und)
     CorenessResult(
       outcome.state.select(col(Graph.VID), col("c").as("coreness")), outcome.metrics)
   }

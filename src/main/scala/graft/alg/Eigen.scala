@@ -37,11 +37,12 @@ object Eigen {
           checkpointDir: Option[String] = None,
           resume: Boolean = false,
           verbose: Boolean = false): Result = {
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (e0, ownE) = Graph.ensureCut(edges) // one upstream pass, not three
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count() // partition build is init-time, not alg_exec
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(e0).persist(StorageLevel.MEMORY_AND_DISK)
     verts.count()
-    val e = edges.count()
+    val e = e0.count()
 
     val init = verts.select(col(Graph.VID), lit(1.0).as("eigen"))
 
@@ -69,6 +70,7 @@ object Eigen {
     }
     pendingRelease.foreach(graft.core.Lineage.release)
     adj.unpersist(blocking = false); verts.unpersist(blocking = false)
+    if (ownE) graft.core.Lineage.release(e0)
     Result(outcome.state, outcome.metrics)
   }
 }

@@ -35,13 +35,14 @@ object Hits {
           checkpointDir: Option[String] = None,
           resume: Boolean = false,
           verbose: Boolean = false): Result = {
-    val adjF = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val adjR = Adjacency.build(Graph.reverse(edges))
+    val (e0, ownE) = Graph.ensureCut(edges) // one upstream pass, not four
+    val adjF = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
+    val adjR = Adjacency.build(Graph.reverse(e0))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adjF.count(); adjR.count() // partition build is init-time, not alg_exec
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(e0).persist(StorageLevel.MEMORY_AND_DISK)
     verts.count()
-    val e = edges.count()
+    val e = e0.count()
 
     val init = verts.select(col(Graph.VID), lit(1.0).as("hub"), lit(1.0).as("auth"))
 
@@ -94,6 +95,7 @@ object Hits {
 
     adjF.unpersist(blocking = false); adjR.unpersist(blocking = false)
     verts.unpersist(blocking = false)
+    if (ownE) graft.core.Lineage.release(e0)
     Result(outcome.state.select(col(Graph.VID), col("hub"), col("auth")),
       outcome.metrics)
   }

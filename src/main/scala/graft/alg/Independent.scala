@@ -64,7 +64,8 @@ object Independent {
           maxSupersteps: Int = 100,
           checkpointDir: Option[String] = None,
           verbose: Boolean = false): MisResult = {
-    val und = Graph.undirected(edges)
+    // cut: adjacency + degree passes share one materialized symmetrization
+    val und = graft.core.Lineage.cut(Graph.undirected(edges))
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(und).persist(StorageLevel.MEMORY_AND_DISK)
     val init = degs.select(col(Graph.VID), priorityKey(col(Graph.VID)).as("k"),
@@ -82,6 +83,7 @@ object Independent {
       StepResult(cut, frontEdges, converged = post._2 == 0L)
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    graft.core.Lineage.release(und)
     MisResult(
       outcome.state.select(col(Graph.VID), (col("status") === Member).as("in_mis")),
       outcome.metrics)
@@ -107,7 +109,8 @@ object Independent {
                innerRounds: Int = 0,
                maxSupersteps: Int = 400,
                verbose: Boolean = false): ColoringResult = {
-    val und = Graph.undirected(edges)
+    // cut: adjacency + degree passes share one materialized symmetrization
+    val und = graft.core.Lineage.cut(Graph.undirected(edges))
     val adj = Adjacency.build(und).persist(StorageLevel.MEMORY_AND_DISK)
     val degs = Graph.outDegrees(und).persist(StorageLevel.MEMORY_AND_DISK)
     val init = degs.select(col(Graph.VID), priorityKey(col(Graph.VID)).as("k"),
@@ -150,6 +153,7 @@ object Independent {
       }
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
+    graft.core.Lineage.release(und)
     ColoringResult(
       outcome.state.select(col(Graph.VID), col("color")),
       phaseColor, outcome.metrics)

@@ -39,11 +39,12 @@ object Katz {
           checkpointDir: Option[String] = None,
           resume: Boolean = false,
           verbose: Boolean = false): Result = {
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (e0, ownE) = Graph.ensureCut(edges) // one upstream pass, not three
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count() // partition build is init-time, not alg_exec
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(e0).persist(StorageLevel.MEMORY_AND_DISK)
     verts.count()
-    val e = edges.count()
+    val e = e0.count()
 
     val init = verts.select(col(Graph.VID), lit(0.0).as("katz"))
     val outcome = Superstep.run(init,
@@ -60,6 +61,7 @@ object Katz {
       StepResult(next, edgesTraversed = e, converged = superstep == rounds)
     }
     adj.unpersist(blocking = false); verts.unpersist(blocking = false)
+    if (ownE) graft.core.Lineage.release(e0)
     Result(outcome.state, outcome.metrics)
   }
 }

@@ -129,6 +129,8 @@ object Louvain {
    */
   def run(edges: DataFrame, roundsPerLevel: Int = 6, maxLevels: Int = 3): Result = {
     var sym = symmetrize(edges).persist()
+    // NOT vertices(sym): symmetrize drops self-loops, and a self-loop-only
+    // vertex must still appear in the output with its own community
     var global = Graph.vertices(edges)
       .select(col(Graph.VID), col(Graph.VID).as("comm")).persist()
     var level = 0

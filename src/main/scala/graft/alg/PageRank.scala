@@ -41,28 +41,33 @@ object PageRank {
    * adjacency build per loop.
    */
   private[graft] final case class RankCtx(
-      adj: DataFrame, verts: DataFrame, degs: DataFrame, v: Long, e: Long) {
+      adj: DataFrame, verts: DataFrame, degs: DataFrame, v: Long, e: Long,
+      edges0: DataFrame, ownEdges: Boolean) {
     def release(): Unit = {
       adj.unpersist(blocking = false)
       degs.unpersist(blocking = false)
       verts.unpersist(blocking = false)
+      if (ownEdges) graft.core.Lineage.release(edges0)
     }
   }
 
   private[graft] def buildCtx(edges: DataFrame,
                               chunkSize: Int = Adjacency.DefaultChunk): RankCtx = {
-    val adj = Adjacency.build(edges, chunkSize)
+    // materialize the (usually derived) edge table once: the four init
+    // consumers below each re-executed the upstream plan otherwise
+    val (e0, ownE) = Graph.ensureCut(edges)
+    val adj = Adjacency.build(e0, chunkSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count() // force: partition build is init-time (Totem's time_par), not alg_exec
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Graph.vertices(e0).persist(StorageLevel.MEMORY_AND_DISK)
     val v = verts.count()
-    val e = edges.count()
+    val e = e0.count()
     // deg per vertex for the pre-division (0 for pure sinks)
-    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
+    val degs = verts.join(Graph.outDegrees(e0), Seq(Graph.VID), "left")
       .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     degs.count() // init-time, not alg_exec
-    RankCtx(adj, verts, degs, v, e)
+    RankCtx(adj, verts, degs, v, e, e0, ownE)
   }
 
   def run(edges: DataFrame,
@@ -314,12 +319,13 @@ object PageRank {
                         verbose: Boolean = false,
                         warmStart: Option[DataFrame] = None): Result = {
     val spark = edges.sparkSession
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (e0, ownE) = Graph.ensureCut(edges) // one upstream pass, not four
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
-    val verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val v = verts.count(); val e = edges.count()
+    val verts = Graph.vertices(e0).persist(StorageLevel.MEMORY_AND_DISK)
+    val v = verts.count(); val e = e0.count()
     val base = (1.0 - damping) / v
-    val degs = verts.join(Graph.outDegrees(edges), Seq(Graph.VID), "left")
+    val degs = verts.join(Graph.outDegrees(e0), Seq(Graph.VID), "left")
       .select(col(Graph.VID), coalesce(col("deg"), lit(0L)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -363,6 +369,7 @@ object PageRank {
     }
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
     verts.unpersist(blocking = false)
+    if (ownE) graft.core.Lineage.release(e0)
     Result(outcome.state.select(col(Graph.VID), col("value").as("rank")), outcome.metrics)
   }
 }

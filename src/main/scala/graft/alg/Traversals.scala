@@ -40,8 +40,11 @@ object Traversals {
           verbose: Boolean = false): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val adj = Adjacency.build(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val degs = Graph.outDegrees(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // one upstream pass (adjacency + degrees + the lazily-built dense-mode
+    // reverse adjacency/vertex set all read the same cut table)
+    val (e0, ownE) = Graph.ensureCut(edges)
+    val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
+    val degs = Graph.outDegrees(e0).persist(StorageLevel.MEMORY_AND_DISK)
     // threshold denominator: vertices WITH out-edges (rows of the cached,
     // loop-reused degree table — no extra distinct-vertices job; on the
     // symmetric graphs bottom-up applies to this IS V)
@@ -66,8 +69,8 @@ object Traversals {
       val discovered =
         if (dense) {
           if (radj == null) {
-            radj = Adjacency.build(Graph.reverse(edges)).persist(StorageLevel.MEMORY_AND_DISK)
-            verts = Graph.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+            radj = Adjacency.build(Graph.reverse(e0)).persist(StorageLevel.MEMORY_AND_DISK)
+            verts = Graph.vertices(e0).persist(StorageLevel.MEMORY_AND_DISK)
           }
           val unvisited = verts.join(state.select(col(Graph.VID)), Seq(Graph.VID), "left_anti")
           radj.join(unvisited.hint("shuffle_hash"), radj(Graph.SRC) === unvisited(Graph.VID))
@@ -88,6 +91,7 @@ object Traversals {
     adj.unpersist(blocking = false); degs.unpersist(blocking = false)
     if (verts != null) verts.unpersist(blocking = false)
     if (radj != null) radj.unpersist(blocking = false)
+    if (ownE) graft.core.Lineage.release(e0)
     Result(outcome.state.select(col(Graph.VID), col("cost")), outcome.metrics)
   }
 

@@ -64,6 +64,22 @@ object Graph {
     if (dropSelfLoops) g.filter(col(SRC) =!= col(DST)) else g
   }
 
+  /** Materialize a derived edge plan ONCE ahead of a multi-consumer init.
+   *
+   * Every iterative algorithm here reads its edge input several times
+   * before the superstep loop starts (adjacency build, vertex set, degree
+   * pass, edge count). Handed a lazy derivation — the usual case: a
+   * projection/filter/distinct over a page corpus — each of those reads
+   * re-executed the WHOLE upstream plan: k corpus passes to derive one
+   * table, the single biggest avoidable cost of a 10^12-document input.
+   * `ensureCut` cuts the (src, dst) projection unless the caller already
+   * materialized it ([[Lineage.isCut]]). The Boolean says whether the
+   * callee owns the blocks (true ⇒ release them in its epilogue, after
+   * everything derived is itself persisted or cut). */
+  def ensureCut(edges: DataFrame): (DataFrame, Boolean) =
+    if (Lineage.isCut(edges)) (edges, false)
+    else (Lineage.cut(edges.select(col(SRC), col(DST))), true)
+
   /** Distinct vertex ids appearing at either endpoint. */
   def vertices(edges: DataFrame): DataFrame =
     edges.select(col(SRC).as(VID)).union(edges.select(col(DST).as(VID))).distinct()

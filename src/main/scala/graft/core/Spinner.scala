@@ -48,7 +48,9 @@ object Spinner {
                 capacityFactor: Double = 1.05,
                 balanceWeight: Double = 1.0): DataFrame = {
     require(k > 0, "k must be positive")
-    val sym = symmetrize(edges)
+    // cut: every round's moveRound re-reads the symmetrized table — uncut,
+    // that re-ran the upstream edge derivation once per round
+    val sym = Lineage.cut(symmetrize(edges))
     val deg = sym.groupBy(col(Graph.SRC).as(Graph.VID))
       .agg(count(lit(1)).cast("double").as("deg")).persist()
     // empty graph (nothing but self-loops, or no edges at all): nothing to
@@ -70,6 +72,7 @@ object Spinner {
       state = next
     }
     deg.unpersist()
+    Lineage.release(sym)
     state
   }
 
