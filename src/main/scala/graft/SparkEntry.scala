@@ -517,9 +517,13 @@ object SparkEntry {
       // second-order biased walks (p=2 return-averse, q=0.5 local) from
       // every vertex — the node2vec corpus sampler; the oracle unrolls the
       // exact inverse-CDF draw with dyadic weights per step
-      graft.alg.RandomWalk.biasedWalks(eMOD(s, dir),
-        graft.core.Graph.vertices(eMOD(s, dir)), length = 6,
-        p = 2.0, q = 0.5, seed = 42L)),
+      {
+        // cut: the walk join table and the every-vertex start set share it
+        val g = graft.core.Lineage.cut(eMOD(s, dir))
+        graft.alg.RandomWalk.biasedWalks(g,
+          graft.core.Graph.vertices(g), length = 6,
+          p = 2.0, q = 0.5, seed = 42L)
+      }),
     "q_walk_pairs" -> ((s, dir) => {
       // skip-gram (center, context) pair counts within a ±3 window over the
       // q_random_walk corpus — the walks→training-pairs step of a DeepWalk
@@ -927,7 +931,9 @@ object SparkEntry {
       // GNN minibatch sampler: 2-hop sampled neighborhood blocks (fanouts
       // 3 then 2) from the seed set vid < 50 — per hop one frontier
       // semi-join + the salted deterministic top-k
-      val e = eMOD(s, dir)
+      // cut (not released: the returned block plan is lazy over e): the
+      // per-hop semi-joins and the seed set otherwise re-derive the graph
+      val e = graft.core.Lineage.cut(eMOD(s, dir))
       graft.core.Graph.sampleKHop(e,
         graft.core.Graph.vertices(e).filter(col("vid") < 50),
         fanouts = Seq(3, 2))

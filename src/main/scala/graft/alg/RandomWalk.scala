@@ -80,8 +80,14 @@ object RandomWalk {
   }
 
   /** Walks from every vertex of the graph. */
-  def walksFromAll(edges: DataFrame, length: Int, seed: Long = 42L): DataFrame =
-    walks(edges, Graph.vertices(edges), length, seed)
+  def walksFromAll(edges: DataFrame, length: Int, seed: Long = 42L): DataFrame = {
+    // cut: the adjacency build and the every-vertex start set otherwise
+    // each re-execute the upstream edge derivation; both are forced
+    // eagerly inside walks(), so owned blocks release on return
+    val (e0, ownE) = Graph.ensureCut(edges)
+    try walks(e0, Graph.vertices(e0), length, seed)
+    finally if (ownE) graft.core.Lineage.release(e0)
+  }
 
   /**
    * Second-order biased walks (node2vec, Grover & Leskovec 2016): at step
