@@ -77,8 +77,23 @@ object Graph {
    * callee owns the blocks (true ⇒ release them in its epilogue, after
    * everything derived is itself persisted or cut). */
   def ensureCut(edges: DataFrame): (DataFrame, Boolean) =
-    if (Lineage.isCut(edges)) (edges, false)
+    if (Lineage.isCut(edges) || isCheapRescan(edges)) (edges, false)
     else (Lineage.cut(edges.select(col(SRC), col(DST))), true)
+
+  // A plan that is just scan + project + filter re-reads for the cost of a
+  // columnar scan with pushdown — materializing it into the block manager
+  // costs MORE than it saves (measured: localCheckpointing a 67M-edge
+  // parquet scan OOM'd a 16g heap the direct reads never stressed). Only a
+  // plan whose every read re-pays a shuffle, join, aggregate, or generator
+  // is worth cutting.
+  private def isCheapRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: lp.Aggregate | _: lp.Join | _: lp.Union | _: lp.Window |
+                _: lp.Sort | _: lp.Generate | _: lp.Distinct |
+                _: lp.Deduplicate | _: lp.RepartitionOperation) => p
+    }.isEmpty
+  }
 
   /** Distinct vertex ids appearing at either endpoint. */
   def vertices(edges: DataFrame): DataFrame =

@@ -18,6 +18,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(deg(0L) == 2L && deg(1L) == 1L) // multiplicity counted (CSR row len)
   }
 
+  test("ensureCut: cuts derived plans, passes through scans and cut frames") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    // derived (distinct ⇒ shuffle per re-read): cut, owned by the callee
+    val (d1, own1) = Graph.ensureCut(e.distinct())
+    assert(own1 && graft.core.Lineage.isCut(d1) && d1.count() == 3)
+    // already-cut input: passed through, NOT owned (caller releases)
+    val (d2, own2) = Graph.ensureCut(d1)
+    assert(!own2 && (d2 eq d1))
+    graft.core.Lineage.release(d1)
+    // narrow plan (project+filter only): re-reading is cheaper than a
+    // block-manager copy — passed through uncut (the 67M-edge parquet
+    // scan that OOM'd the scaling leg is this shape)
+    val (d3, own3) = Graph.ensureCut(e.filter(col("src") =!= col("dst")))
+    assert(!own3 && !graft.core.Lineage.isCut(d3))
+    // union+distinct (undirected): every re-read pays the shuffle — cut
+    val (d4, own4) = Graph.ensureCut(Graph.undirected(e))
+    assert(own4 && graft.core.Lineage.isCut(d4) && d4.count() == 6)
+    graft.core.Lineage.release(d4)
+  }
+
   test("reciprocity: hand oracle, self-loops and duplicates excluded") {
     // {(0,1),(1,0),(1,2)} -> 2 of 3 reciprocated; self-loop + dup ignored
     val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 2L), (0L, 1L)).toDF("src", "dst")
