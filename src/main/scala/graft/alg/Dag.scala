@@ -100,9 +100,11 @@ object Dag {
    * label (every label appears, including components isolated in the
    * quotient, at layer 0). The crawl-order view of a raw directed graph. */
   def topoLayers(edges: DataFrame, maxSupersteps: Int = 200): DataFrame = {
-    // cut: the raw edge plan feeds the SCC run AND the condensation joins —
-    // uncut, the upstream scan executes twice (two corpus passes at scale)
-    val e = Lineage.cut(edges.select(col(Graph.SRC), col(Graph.DST)))
+    // ensureCut: the edge plan feeds the SCC run AND the condensation joins
+    // — a derived plan would otherwise execute twice (two corpus passes at
+    // scale); a bare scan passes through (re-reading is cheaper than a
+    // block-manager copy)
+    val (e, ownE) = Graph.ensureCut(edges)
     val labels = StronglyConnected.run(e)
     // cut the condensation as well: layers() reads it three times
     // (adjacency build, out-degrees, vertex init) and each uncut read
@@ -111,7 +113,7 @@ object Dag {
     val l = layers(dag, maxSupersteps).layers
     // labels and l are cut frames, so the returned lazy plan no longer
     // reads e or dag — safe to drop their blocks here
-    Lineage.release(e)
+    if (ownE) Lineage.release(e)
     Lineage.release(dag)
     labels.select(col("scc")).distinct()
       .join(l.withColumnRenamed(Graph.VID, "scc").hint("shuffle_hash"),
