@@ -95,6 +95,9 @@ object Bench {
     // round-4 session 2: HyperBall harmonic (every vertex, O(diameter)
     // supersteps) + the directed related-page wedge passes
     "q_hyperball", "q_cocitation", "q_coupling",
+    // round-4 session 6: bounded two-iteration SimRank (candidate cut +
+    // in-neighbor pair expansion against the s1 lookup)
+    "q_simrank",
     "q_neg_sample", "q_khop_sample",
     "q_mis", "q_matching", "q_msf",
     // q_winnow: MOSS winnowing fingerprints — one narrow per-doc array

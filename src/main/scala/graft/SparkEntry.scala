@@ -89,6 +89,18 @@ object SparkEntry {
       .select("src", "dst").distinct()
   }
 
+  /** sparse directed graph for SimRank: first-line items only — in-degrees
+   * stay small enough that bounded-s2 expansion (candidates × d²) is cheap
+   * at every SF while the co-citation structure stays rich. */
+  private def eSIM(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).filter(col("l_linenumber") === 1)
+      .select((col("l_orderkey") % 997).as("src"), (col("l_partkey") % 997).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  private val SqlESIM =
+    "SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem " +
+      "WHERE l_linenumber = 1 AND l_orderkey % 997 <> l_partkey % 997"
+
   private val SqlEPS =
     "SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem"
   private val SqlEMOD =
@@ -330,6 +342,12 @@ object SparkEntry {
       // bibliographic coupling (Kessler 1963): top pairs citing the most
       // common targets — the same wedge pass on the reversed graph
       graft.alg.LinkPrediction.couplingTopK(eMOD(s, dir), k = 50)),
+    "q_simrank" -> ((s, dir) =>
+      // bounded two-iteration SimRank (Jeh-Widom 2002) on the sparse
+      // mixed digraph: s1 exact for every co-cited pair, s2 exact on the
+      // top-2000 s1 candidates (nano-unit floor arithmetic keeps the cut,
+      // the BIGINT sum, and the final double bit-identical cross-engine)
+      graft.alg.SimRank.simrank2TopK(eSIM(s, dir), k = 50)),
     "q_butterflies" -> ((s, dir) =>
       // bipartite 4-cycle census per part: exact (uncapped) for the oracle;
       // the maxPivotDegree hub valve is the scale path (ButterflySpec)
@@ -2889,6 +2907,26 @@ object SparkEntry {
              ROUND(CAST(c.coupling AS DOUBLE) / (da.d + db.d - c.coupling), 6) AS jaccard
       FROM cnt c JOIN outd da ON c.a = da.v JOIN outd db ON c.b = db.v
       ORDER BY c.coupling DESC, c.a, c.b LIMIT 50""",
+    "q_simrank" -> s"""
+      WITH e AS MATERIALIZED ($SqlESIM),
+      ina AS (SELECT dst AS v, src AS i FROM e),
+      deg AS (SELECT v, COUNT(*) AS d FROM ina GROUP BY v),
+      cocit AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS cnt
+                FROM ina x JOIN ina y ON x.i = y.i AND x.v < y.v GROUP BY 1, 2),
+      s1 AS (SELECT a, b, da.d AS da, db.d AS db,
+                    CAST(FLOOR(0.8e0 * cnt / (da.d * db.d) * 1e9) AS BIGINT) AS nano
+             FROM cocit JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+      top AS (SELECT a, b, da, db, nano FROM s1 ORDER BY nano DESC, a, b LIMIT 2000),
+      exp AS (SELECT t.a AS pa, t.b AS pb, ia.i AS i, ib.i AS j FROM top t
+              JOIN ina ia ON ia.v = t.a JOIN ina ib ON ib.v = t.b),
+      con AS (SELECT pa, pb, CASE WHEN i = j THEN CAST(1000000000 AS BIGINT)
+                             ELSE COALESCE(s.nano, 0) END AS cn
+              FROM exp LEFT JOIN s1 s ON s.a = LEAST(i, j) AND s.b = GREATEST(i, j)),
+      s2 AS (SELECT pa, pb, SUM(cn) AS sumn FROM con GROUP BY pa, pb)
+      SELECT t.a, t.b, t.nano AS s1_nano,
+             0.8e0 * s2.sumn / (t.da * t.db) / 1e9 AS simrank2
+      FROM top t JOIN s2 ON s2.pa = t.a AND s2.pb = t.b
+      ORDER BY simrank2 DESC, t.a, t.b LIMIT 50""",
     "q_butterflies" -> s"""
       WITH e AS MATERIALIZED ($SqlEPS),
       nbr AS (SELECT dst AS w, src AS x FROM e),
