@@ -295,14 +295,16 @@ object SparkEntry {
         maxIterations = 4, pruneTopK = 16).labels),
     "q_label_prop_pruned_full" -> ((s, dir) => {
       // full-convergence run of the same pruned scale path (25-max/5-stable
-      // stop rule) — the production configuration and the bench headline;
-      // rows-only by construction (a convergence-dependent unroll is not
-      // fixed-depth SQL), its algorithm is oracle-checked via the
-      // fixed-iteration q_label_prop_pruned above
+      // stop rule) — the production configuration and the bench headline.
+      // The oracle is the SQL unroll PINNED to the recorded verify-scale
+      // convergence depth (8 supersteps, stable at every sf0.01 run),
+      // and the ACTUAL superstep count rides the output as a column: if
+      // convergence ever drifts from the pinned depth the hash mismatches
+      // and this row turns red instead of silently diverging.
       val r = graft.alg.LabelPropagation.labelRank(Graph.undirected(eMOD(s, dir)),
         pruneTopK = 16)
       graft.core.MetricsLedger.record("q_label_prop_pruned_full", r.metrics.size)
-      r.labels
+      r.labels.withColumn("supersteps", lit(r.metrics.size.toLong))
     }),
     "q_katz" -> ((s, dir) => {
       val r = graft.alg.Katz.run(eMOD(s, dir), rounds = 5, alpha = 0.1)
@@ -1810,6 +1812,65 @@ object SparkEntry {
     FROM inter JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5"""
 
+  /** Replay oracle for the LSH top-k path ([[graft.ann.Ann.lshTopK]]):
+   * rebuilds the EXACT md5-derived integer plane matrix
+   * (Ann.planeComponent: Σ_{j<4} md5_48("plane|p|i|j") mod 100000 −
+   * 200000), the BIGINT sign signatures over micro-unit-quantized
+   * embeddings, the multi-probe XOR bucket join, and the round-9 cosine
+   * rank — every step is integer/md5 arithmetic both engines evaluate
+   * identically (the q_neg_sample replay discipline applied to LSH). */
+  private def lshTopkSql(planes: Int, radius: Int, tables: Int, k: Int): String = {
+    val nPlanes = planes * tables
+    val md5int = {
+      val md = "md5(concat_ws('|', 'plane', CAST(p.g AS VARCHAR), " +
+        "CAST(i.i AS VARCHAR), CAST(j.g AS VARCHAR)))"
+      (1 to 12).map { d =>
+        s"(strpos('0123456789abcdef', substring($md, $d, 1)) - 1) * ${BigInt(16).pow(12 - d)}"
+      }.mkString("(", " + ", ")")
+    }
+    val maskVals = graft.ann.Ann.probeMasks(planes, radius)
+      .map(m => s"($m)").mkString(", ")
+    s"""
+      WITH xq AS MATERIALIZED (
+        SELECT vec_id, CAST(generate_subscripts(e, 1) AS BIGINT) - 1 AS i,
+               CAST(FLOOR(unnest(e) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS xn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+      idx AS (SELECT DISTINCT i FROM xq),
+      pc AS MATERIALIZED (
+        SELECT p.g AS p, i.i AS i, SUM($md5int % 100000) - 200000 AS c
+        FROM generate_series(0, ${nPlanes - 1}) p(g)
+        CROSS JOIN idx i CROSS JOIN generate_series(0, 3) j(g)
+        GROUP BY 1, 2),
+      dots AS MATERIALIZED (
+        SELECT x.vec_id, pc.p, SUM(x.xn * pc.c) AS dot
+        FROM xq x JOIN pc ON pc.i = x.i GROUP BY 1, 2),
+      sig AS MATERIALIZED (
+        SELECT vec_id, (p // $planes) AS tbl,
+               SUM(CASE WHEN dot >= 0
+                   THEN (CAST(1 AS BIGINT) << CAST(p % $planes AS INTEGER))
+                   ELSE 0 END) AS sig
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        FROM sig q
+        CROSS JOIN (VALUES $maskVals) m(m)
+        JOIN sig c ON c.tbl = q.tbl AND c.sig = xor(q.sig, CAST(m.m AS BIGINT))
+        WHERE q.vec_id < 5),
+      scored AS (
+        SELECT cand.query_id, cand.vec_id,
+          ROUND(
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+          , 9) AS sim
+        FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings e ON e.vec_id = cand.vec_id)
+      SELECT query_id, vec_id, sim, rank FROM (
+        SELECT query_id, vec_id, sim,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= $k"""
+  }
+
   private def annTopkSql: String = s"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -2883,10 +2944,11 @@ object SparkEntry {
       dg AS (SELECT w, COUNT(*) AS deg FROM nbr GROUP BY w),
       wedge AS (SELECT n1.x AS a, n2.x AS b, n1.w AS w FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.x < n2.x),
       nonedge AS (SELECT wd.a, wd.b, wd.w FROM wedge wd LEFT JOIN canon c ON wd.a = c.a AND wd.b = c.b WHERE c.a IS NULL),
-      scored AS (SELECT ne.a, ne.b, COUNT(*) AS common_n, SUM(1.0 / LN(dg.deg)) AS aa
+      scored AS (SELECT ne.a, ne.b, COUNT(*) AS common_n,
+          SUM(CAST(FLOOR(1e6 / LN(dg.deg)) AS BIGINT)) AS aam
         FROM nonedge ne JOIN dg ON ne.w = dg.w GROUP BY ne.a, ne.b)
-      SELECT a, b, common_n, ROUND(aa, 6) AS adamic_adar FROM scored
-      ORDER BY ROUND(aa, 6) DESC, a, b LIMIT 50""",
+      SELECT a, b, common_n, aam / 1e6 AS adamic_adar FROM scored
+      ORDER BY aam DESC, a, b LIMIT 50""",
     "q_cocitation" -> s"""
       WITH e AS MATERIALIZED ($SqlEMOD),
       cnt AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cocitation
@@ -2894,7 +2956,7 @@ object SparkEntry {
               GROUP BY e1.dst, e2.dst),
       ind AS (SELECT dst AS v, COUNT(*) AS d FROM e GROUP BY dst)
       SELECT c.a, c.b, c.cocitation,
-             ROUND(CAST(c.cocitation AS DOUBLE) / (da.d + db.d - c.cocitation), 6) AS jaccard
+             CAST(FLOOR(1e9 * c.cocitation / (da.d + db.d - c.cocitation)) AS BIGINT) / 1e9 AS jaccard
       FROM cnt c JOIN ind da ON c.a = da.v JOIN ind db ON c.b = db.v
       ORDER BY c.cocitation DESC, c.a, c.b LIMIT 50""",
     "q_coupling" -> s"""
@@ -2904,7 +2966,7 @@ object SparkEntry {
               GROUP BY e1.src, e2.src),
       outd AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src)
       SELECT c.a, c.b, c.coupling,
-             ROUND(CAST(c.coupling AS DOUBLE) / (da.d + db.d - c.coupling), 6) AS jaccard
+             CAST(FLOOR(1e9 * c.coupling / (da.d + db.d - c.coupling)) AS BIGINT) / 1e9 AS jaccard
       FROM cnt c JOIN outd da ON c.a = da.v JOIN outd db ON c.b = db.v
       ORDER BY c.coupling DESC, c.a, c.b LIMIT 50""",
     "q_simrank" -> s"""
@@ -3471,10 +3533,10 @@ object SparkEntry {
       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
       n AS (SELECT COUNT(*) AS n FROM documents),
       scored AS (SELECT tf.doc_id, tf.term,
-          ROUND(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+          tf.tf * CAST(FLOOR((ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) * 1e6) AS BIGINT) AS tfm
         FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-      ranked AS (SELECT doc_id, term, tfidf,
-          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      ranked AS (SELECT doc_id, term, tfm / 1e6 AS tfidf,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfm DESC, term) AS rnk
         FROM scored)
       SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5""",
     "q_semantic_decontaminate" -> """
@@ -3489,6 +3551,15 @@ object SparkEntry {
     "q_majority_lpa" -> majorityLpaSql(iterations = 5),
     "q_label_prop" -> labelRankSql(iterations = 4),
     "q_label_prop_pruned" -> labelRankPrunedSql(iterations = 4, k = 16),
+    // full-convergence pruned LPA, pinned to its recorded verify-scale
+    // convergence depth (8 supersteps: labels stabilize by round 3, the
+    // 5-stable counter fires at 8); the query emits the LIVE superstep
+    // count so depth drift reads as a hash mismatch (red), never as a
+    // silent divergence
+    "q_label_prop_pruned_full" -> s"""
+      SELECT vid, label, CAST(8 AS BIGINT) AS supersteps
+      FROM (${labelRankPrunedSql(iterations = 8, k = 16)})""",
+    "q_ann_lsh" -> lshTopkSql(planes = 8, radius = 1, tables = 1, k = 10),
     "q_ann_lsh_recall" ->
       "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
     "q_ann_ivf_recall" ->
@@ -3509,14 +3580,15 @@ object SparkEntry {
       wedge AS (SELECT n1.x AS a, n2.x AS b, n1.deg FROM piv n1 JOIN piv n2 ON n1.w = n2.w AND n1.x < n2.x),
       nonedge AS (SELECT wd.a, wd.b, wd.deg FROM wedge wd LEFT JOIN canon c ON wd.a = c.a AND wd.b = c.b WHERE c.a IS NULL),
       scored AS (SELECT ne.a, ne.b, COUNT(*) AS common_n,
-          SUM(1.0 / LN(ne.deg)) AS aa, SUM(1.0 / ne.deg) AS ra
+          SUM(CAST(FLOOR(1e6 / LN(ne.deg)) AS BIGINT)) AS aam,
+          SUM(CAST(FLOOR(1e9 / ne.deg) AS BIGINT)) AS ran
         FROM nonedge ne GROUP BY ne.a, ne.b)
       SELECT s.a, s.b, s.common_n,
-        ROUND(s.common_n * 1.0 / (da.deg + db.deg - s.common_n), 6) AS jaccard,
-        ROUND(s.aa, 6) AS adamic_adar, ROUND(s.ra, 6) AS resource_alloc,
+        CAST(FLOOR(1e9 * s.common_n / (da.deg + db.deg - s.common_n)) AS BIGINT) / 1e9 AS jaccard,
+        s.aam / 1e6 AS adamic_adar, s.ran / 1e9 AS resource_alloc,
         da.deg * db.deg AS pref_attach
       FROM scored s JOIN dg da ON s.a = da.w JOIN dg db ON s.b = db.w
-      ORDER BY ROUND(s.common_n * 1.0 / (da.deg + db.deg - s.common_n), 6) DESC, s.a, s.b
+      ORDER BY CAST(FLOOR(1e9 * s.common_n / (da.deg + db.deg - s.common_n)) AS BIGINT) DESC, s.a, s.b
       LIMIT 50""",
     "q_random_walk" -> randomWalkSql(length = 8, seed = 42L),
     "q_node2vec" -> biasedWalkSql(length = 6, p = 2.0, q = 0.5, seed = 42L),
@@ -3598,10 +3670,5 @@ object SparkEntry {
     "q_edge_betweenness" -> brandesEdgeSql(depth = 8, nRoots = 3),
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql(maxDistance = 3)
-    // q_label_prop_pruned_full (convergence-dependent iteration count — not
-    // fixed-depth SQL; its algorithm is oracle-checked via the 4-iteration
-    // q_label_prop_pruned and exact-parity-tested vs the Scala dense
-    // oracle) and q_ann_lsh (approximate by construction; its recall is
-    // oracle-checked via q_ann_lsh_recall): rows-only.
   )
 }

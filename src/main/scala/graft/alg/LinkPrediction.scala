@@ -1,6 +1,6 @@
 package graft.alg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.core.Graph
@@ -30,19 +30,35 @@ import graft.core.Graph
  */
 object LinkPrediction {
 
-  /** Top-`k` non-adjacent pairs by Adamic–Adar (rounded to 6 digits for the
-   * cross-engine contract), ties broken by (a, b). Returns
-   * (a, b, common_n, adamic_adar) with a < b. */
+  /** Per-wedge Adamic–Adar term in exact integer MICRO-units:
+   * floor(10⁶/ln(deg)). Summing these BIGINTs is order-independent, so the
+   * aggregate — and the top-k cut ordered by it — is deterministic across
+   * partitionings AND engines (the SimRank floor-nano discipline). ln is
+   * the one transcendental: engines may differ in its last ulp, which
+   * moves 10⁶/ln by ~1e-10 absolute — a floor flip only when the value
+   * sits within 1e-10 of an integer, a per-DISTINCT-DEGREE (not per-pair,
+   * not per-sum-order) exposure, unlike round(Σdouble, 6) whose boundary
+   * luck compounds with pair count and summation order (the q_pca_cov
+   * failure class this replaces). */
+  private def aaMicroTerm(deg: Column): Column =
+    floor(lit(1000000.0) / log(deg)).cast("long")
+
+  /** Top-`k` non-adjacent pairs by Adamic–Adar, ties broken by (a, b).
+   * Returns (a, b, common_n, adamic_adar) with a < b; adamic_adar is the
+   * micro-unit integer sum divided once by 10⁶ — bit-identical in any
+   * engine evaluating the same expressions. */
   def adamicAdarTopK(edges: DataFrame, k: Int,
                      maxPivotDegree: Int = Int.MaxValue): DataFrame = {
     val scored = scores(edges, maxPivotDegree)
     // global top-k: TakeOrdered over the aggregated pair frame — no window,
-    // no driver-side sort of the full pair set
+    // no driver-side sort of the full pair set; the sort key is the exact
+    // BIGINT micro sum, so the k-cut cannot wobble on float ties
     scored
-      .select(col("a"), col("b"), col("common_n"),
-        round(col("adamic_adar"), 6).as("adamic_adar"))
-      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+      .select(col("a"), col("b"), col("common_n"), col("__aam"),
+        (col("__aam") / lit(1e6)).as("adamic_adar"))
+      .orderBy(col("__aam").desc, col("a"), col("b"))
       .limit(k)
+      .drop("__aam")
   }
 
   /** Top-`k` non-adjacent pairs by Jaccard overlap, carrying the whole
@@ -67,23 +83,32 @@ object LinkPrediction {
     val wedges = pivots.select(col("w"), col("x"), col("deg"))
       .join(pivots.select(col("w"), col("x").as("y")), Seq("w"))
       .filter(col("x") < col("y"))
+    // cross-engine exactness: AA in integer micro-units ([[aaMicroTerm]]),
+    // RA in integer nano-units (10⁹/deg is one correctly-rounded division
+    // of exact integers — floor is bit-identical by construction), Jaccard
+    // as floor(10⁹·cn/denom) of the same shape; the emitted doubles are
+    // each ONE division of a BIGINT by a power of ten, identical anywhere
     val agg = wedges
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("common_n"),
-        sum(lit(1.0) / log(col("deg"))).as("aa"),
-        sum(lit(1.0) / col("deg")).as("ra"))
+        sum(aaMicroTerm(col("deg"))).as("__aam"),
+        sum(floor(lit(1.0e9) / col("deg")).cast("long")).as("__ran"))
       .join(canon, Seq("a", "b"), "left_anti")
     agg
       .join(deg.select(col("w").as("a"), col("deg").as("__da")), Seq("a"))
       .join(deg.select(col("w").as("b"), col("deg").as("__db")), Seq("b"))
+      .withColumn("__jn",
+        floor(col("common_n") * lit(1.0e9)
+          / (col("__da") + col("__db") - col("common_n"))).cast("long"))
       .select(col("a"), col("b"), col("common_n"),
-        round(col("common_n") / (col("__da") + col("__db") - col("common_n")), 6)
-          .as("jaccard"),
-        round(col("aa"), 6).as("adamic_adar"),
-        round(col("ra"), 6).as("resource_alloc"),
-        (col("__da") * col("__db")).as("pref_attach"))
-      .orderBy(col("jaccard").desc, col("a"), col("b"))
+        (col("__jn") / lit(1e9)).as("jaccard"),
+        (col("__aam") / lit(1e6)).as("adamic_adar"),
+        (col("__ran") / lit(1e9)).as("resource_alloc"),
+        (col("__da") * col("__db")).as("pref_attach"),
+        col("__jn"))
+      .orderBy(col("__jn").desc, col("a"), col("b"))
       .limit(k)
+      .drop("__jn")
   }
 
   /** All scored non-adjacent pairs (a < b, ≥1 common neighbor):
@@ -100,10 +125,15 @@ object LinkPrediction {
     val wedges = pivots.select(col("w"), col("x"), col("deg"))
       .join(pivots.select(col("w"), col("x").as("y")), Seq("w"))
       .filter(col("x") < col("y"))
+    // adamic_adar: the exact unrounded double (the semantic API, brute-force
+    // parity-tested); __aam: the same sum in integer micro-units — the
+    // order-independent cross-engine sort/compare key [[adamicAdarTopK]]
+    // cuts on (aggregated together: one wedge pass serves both)
     val agg = wedges
       .groupBy(col("x").as("a"), col("y").as("b"))
       .agg(count(lit(1)).as("common_n"),
-        sum(lit(1.0) / log(col("deg"))).as("adamic_adar"))
+        sum(lit(1.0) / log(col("deg"))).as("adamic_adar"),
+        sum(aaMicroTerm(col("deg"))).as("__aam"))
     // canon/pivots stay persisted for the single read of the returned plan
     // (canon feeds both the wedge sides and the anti-join probe); LRU evicts
     agg.join(canon, Seq("a", "b"), "left_anti")
@@ -174,12 +204,17 @@ object LinkPrediction {
       .select(col("a"), explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("b"))
     val cnt = wedges.groupBy("a", "b").agg(count(lit(1)).as(scoreName))
     val ind = e.groupBy(col(Graph.DST).as("v")).agg(count(lit(1)).as("d"))
+    // jaccard = floor(10⁹·score/denom)/10⁹: the scaled numerator and the
+    // denominator are exact integers, the division is one correctly-rounded
+    // IEEE op, floor of it is bit-identical in any engine — no
+    // round-after-division boundary luck (the q_pca_cov lesson)
     cnt
       .join(ind.select(col("v").as("a"), col("d").as("__da")), Seq("a"))
       .join(ind.select(col("v").as("b"), col("d").as("__db")), Seq("b"))
       .select(col("a"), col("b"), col(scoreName),
-        round(col(scoreName) / (col("__da") + col("__db") - col(scoreName)), 6)
-          .as("jaccard"))
+        (floor(col(scoreName) * lit(1.0e9)
+          / (col("__da") + col("__db") - col(scoreName))).cast("long")
+          / lit(1e9)).as("jaccard"))
       .orderBy(col(scoreName).desc, col("a"), col("b"))
       .limit(k)
   }

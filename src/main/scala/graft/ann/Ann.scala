@@ -46,26 +46,53 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic random hyperplane component: pseudo-gaussian from 4
-   * averaged uniforms derived from xxhash64(plane, dim). */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val parts = (0 until 4).map { j =>
-      (pmod(xxhash64(lit(plane), dim, lit(j)), lit(100000L)).cast("double") / 50000.0) - 1.0
-    }
-    parts.reduce(_ + _) / 2.0
+  /** Deterministic pseudo-gaussian hyperplane component in INTEGER units:
+   * Σ_{j<4} (md5_48("plane|p|i|j") mod 100000) − 200000 ∈ [−200000, 199996]
+   * (md5_48 = first 12 hex digits of md5 of the UTF-8 string, as a 48-bit
+   * integer — the q_neg_sample replay-oracle device). md5, not xxhash64:
+   * any SQL engine with md5 reproduces the identical matrix, so the whole
+   * LSH path is DuckDB-replayable. Evaluated ONCE on the driver per
+   * (plane, dim) and embedded as array literals — the plane matrix is
+   * data-independent, so per-row hashing would be pure waste. */
+  private[ann] def planeComponent(plane: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 4).map { j =>
+      val hex = md.digest(s"plane|$plane|$i|$j"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 100000L
+    }.sum - 200000L
   }
 
-  /** Sign signature over `planes` hyperplanes: long bucket key. `offset`
-   * selects an independent plane family (hash-seeded by global plane
-   * index), so multi-table LSH draws table t's planes at offset
-   * t·planes. */
-  def planeSignature(vec: Column, planes: Int, offset: Int = 0): Column =
+  /** Embedding quantized to exact integer micro-units: floor(x·10⁶ + 0.5)
+   * as BIGINT — the cross-engine discipline shared with the feature-prop
+   * and DSIR oracles (identical FLOOR formula on both engines). */
+  private[ann] def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** Sign signature over `planes` md5-derived hyperplanes: long bucket key,
+   * bit p set iff Σ_i xn_i·C[p][i] ≥ 0 — EXACT BIGINT arithmetic, so the
+   * signature is order-independent and bit-identical in any engine (no
+   * "green by summation-order luck": |xn| ≲ 2²⁰ · |C| < 2¹⁸ · dims ≲ 2¹³
+   * keeps the sum far inside 2⁶³). The per-row cost is one codegen'd
+   * integer dot product per plane against literal arrays — cheaper than
+   * the per-row-hashing scheme it replaces. `offset` selects an
+   * independent plane family (multi-table LSH draws table t at offset
+   * t·planes); `dim` is the (uniform) embedding dimension. */
+  def planeSignature(vec: Column, planes: Int, dim: Int, offset: Int = 0): Column = {
+    val xq = quantized(vec)
     (0 until planes).map { p =>
-      val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") * planeComponent(offset + p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val row = Array.tabulate(dim)(i => planeComponent(offset + p, i))
+      val dot = aggregate(zip_with(xq, lit(row), (x, c) => x * c),
+        lit(0L), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** O(1) driver probe for the uniform embedding dimension (reads one row;
+   * the plane matrix literal needs the width up front). */
+  private def probeDim(df: DataFrame, vec: String): Int =
+    df.select(size(col(vec)).as("d")).head().getInt(0)
 
   /** All XOR masks of Hamming weight ≤ radius over `planes` bits — the
    * multi-probe sequence (probe count: Σ_{r≤radius} C(planes, r), a
@@ -99,14 +126,15 @@ object Ann {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val radius = if (multiProbe) probeRadius else 0
     val masks = probeMasks(planes, radius)
+    val dim = probeDim(corpus, vec)
     val scored = (0 until tables).map { t =>
       // NOT persisted: each table's signed copy is read exactly once (its
       // bucket join) in the returned plan, and a cache-manager entry could
       // never be unregistered from inside this lazy API anyway
       val c = corpus.withColumn("bkey",
-        planeSignature(col(vec), planes, offset = t * planes))
+        planeSignature(col(vec), planes, dim, offset = t * planes))
       val qsig = queries.withColumn("sig",
-        planeSignature(col(qvec), planes, offset = t * planes))
+        planeSignature(col(qvec), planes, dim, offset = t * planes))
       val probes = qsig.select(col("*"), explode(array(
         masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("bkey"))
       probes.join(c, "bkey")
@@ -177,7 +205,8 @@ object Ann {
 
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
                          id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val sig = corpus.withColumn("sig", planeSignature(col(vec), planes))
+    val sig = corpus.withColumn("sig",
+        planeSignature(col(vec), planes, probeDim(corpus, vec)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val expanded = sig.select(col(id), col(vec), explode(array(
       (col("sig") +: (0 until planes).map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*))

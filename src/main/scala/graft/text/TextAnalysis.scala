@@ -270,9 +270,17 @@ object TextAnalysis {
    * can outgrow a broadcast at corpus scale, so the shuffle join is the
    * default and AQE upgrades small vocabularies to broadcast — the corpus
    * count folded in as a one-row broadcast cross join,
-   * and a per-document window for the rank — never global. Scores round at
-   * 6 so the DuckDB oracle (same expressions, `ln` on both engines) hashes
-   * identically; ranking tie-breaks on the term.
+   * and a per-document window for the rank — never global.
+   *
+   * Cross-engine exactness (the SimRank floor discipline): the idf is
+   * quantized per DISTINCT df to integer micro-units —
+   * idf_micro = floor((ln((N+1)/(df+1)) + 1)·10⁶) — so the score
+   * tf·idf_micro is an exact integer product (< 2⁵³), the rank orders on
+   * that integer, and the emitted tfidf = tf·idf_micro/10⁶ is one double
+   * division both engines evaluate identically. The only residual engine
+   * freedom is the last ulp of ln, amplified to ~1e-10 at the floor — a
+   * per-distinct-df exposure, not the per-row round-after-multiply
+   * boundary luck of round(tf·idf, 6) (the q_pca_cov class).
    * Output: (id, term, tfidf, rnk ≤ k).
    */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
@@ -286,10 +294,12 @@ object TextAnalysis {
       .join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("id"), col("term"),
-        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+        (col("tf") * floor((log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0)
+          * lit(1000000.0)).cast("long")).as("__tfm"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+      .partitionBy("id").orderBy(col("__tfm").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .withColumnRenamed("id", idCol)
+      .select(col("id").as(idCol), col("term"),
+        (col("__tfm") / lit(1e6)).as("tfidf"), col("rnk"))
   }
 }

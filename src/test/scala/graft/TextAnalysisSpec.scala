@@ -141,8 +141,8 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
       .sortBy(t => (t._1, t._4))
     // N=2; df(a)=2, df(b)=df(c)=1; idf(a)=ln(3/3)+1=1, idf(b/c)=ln(1.5)+1
-    val idfBC = BigDecimal(math.log(1.5) + 1.0)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // micro-unit quantization: tfidf = tf·floor(idf·1e6)/1e6
+    val idfBC = math.floor((math.log(1.5) + 1.0) * 1e6) / 1e6
     assert(got.toSeq == Seq(
       (1L, "a", 2.0, 1), (1L, "b", idfBC, 2),
       (2L, "c", idfBC, 1), (2L, "a", 1.0, 2)))
