@@ -175,6 +175,16 @@ object LinkPrediction {
 
   private def pivotOverlapTopK(edges: DataFrame, k: Int, maxPivotDegree: Int,
                                scoreName: String): DataFrame = {
+    // the grouped-array expansion buffers ONE pivot's whole out-list per
+    // aggregation row: uncapped, a single hub makes that row arbitrarily
+    // large — a memory shape the old self-join never had. The uncapped
+    // default exists for exact oracle comparison at verify scale ONLY;
+    // surface the risk loudly instead of waiting for an executor OOM.
+    if (maxPivotDegree == Int.MaxValue)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$scoreName: running UNCAPPED (maxPivotDegree=Int.MaxValue) — one " +
+          "aggregation row buffers a whole pivot out-list; set maxPivotDegree " +
+          "(the Dean-Henzinger hub valve) for any at-scale run")
     // lineage-cut, not persist: three readers (fanout, pivots, in-degrees)
     // and no unregister path from a lazy API (the lshTopK lesson)
     val e = graft.core.Lineage.cut(

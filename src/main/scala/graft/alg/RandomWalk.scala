@@ -107,8 +107,15 @@ object RandomWalk {
    *
    * Scale shape: per step the plan touches O(frontier out-edges) rows —
    * inherent to node2vec, which must score every neighbor against prev's
-   * adjacency (the membership probe is an edge-keyed shuffle-hash join; the
-   * running sum is a per-walk window, never global).
+   * adjacency. The membership probe rides the grouped SORTED out-list
+   * (`array_contains` against a per-vertex adjacency array — the
+   * LinkPrediction wedge device): the build side is V grouped rows,
+   * persisted already hash-partitioned on its key, so each step pays one
+   * candidate-stream shuffle on `prev` and ZERO build-side shuffle —
+   * replacing the edge-keyed (prev, nbr) join that re-shuffled E build
+   * rows every step. The array lives only on the join's build side and is
+   * dropped in the join projection, so hub out-lists are never copied per
+   * candidate row. The running sum stays a per-walk window, never global.
    */
   def biasedWalks(edges: DataFrame, starts: DataFrame, length: Int,
                   p: Double = 2.0, q: Double = 0.5, seed: Long = 42L): DataFrame = {
@@ -118,8 +125,13 @@ object RandomWalk {
       .repartition(col(Graph.SRC))
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
-    val member = e.select(col(Graph.SRC).as("p2"), col(Graph.DST).as("n2"),
-      lit(true).as("isadj"))
+    // grouped sorted adjacency for the membership probe: V rows, built once,
+    // persisted in the groupBy's own HashPartitioning(p2) so the per-step
+    // join never re-shuffles it
+    val grouped = e.groupBy(col(Graph.SRC).as("p2"))
+      .agg(sort_array(collect_list(col(Graph.DST))).as("pns"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    grouped.count()
 
     val frames = Seq.newBuilder[DataFrame]
     var state = graft.core.Lineage.cut(starts.select(col(Graph.VID).as("walk"),
@@ -133,11 +145,13 @@ object RandomWalk {
         .select(col("walk"), col("prev"), state(Graph.VID).as("cur"),
           e(Graph.DST).as("nbr"))
       val weighted = cand.hint("shuffle_hash")
-        .join(member, cand("prev") === member("p2") && cand("nbr") === member("n2"), "left")
-        .withColumn("wt",
+        .join(grouped, cand("prev") === grouped("p2"), "left")
+        // array_contains(null, _) is null → falls through to 1/q, matching
+        // the old left-join-miss behavior for a prev with no out-edges
+        .select(col("walk"), col("prev"), col("cur"), col("nbr"),
           when(col("nbr") === col("prev"), lit(1.0 / p))
-            .when(col("isadj"), lit(1.0))
-            .otherwise(lit(1.0 / q)))
+            .when(array_contains(col("pns"), col("nbr")), lit(1.0))
+            .otherwise(lit(1.0 / q)).as("wt"))
       val h = conv(substring(md5(concat_ws("|", lit(seed), col("walk"), lit(i))), 1, 12),
         16, 10).cast("long")
       val next = weighted
@@ -149,7 +163,7 @@ object RandomWalk {
       state = graft.core.Lineage.cut(next)
       frames += state.select(col("walk"), lit(i).as("step"), col(Graph.VID))
     }
-    e.unpersist(blocking = false)
+    e.unpersist(blocking = false); grouped.unpersist(blocking = false)
     frames.result().reduce(_.unionByName(_))
   }
 

@@ -58,7 +58,14 @@ object SimRank {
     val ina = e.select(col(Graph.DST).as("v"), col(Graph.SRC).as("i"))
     val deg = ina.groupBy("v").agg(count(lit(1)).as("d"))
 
-    // s1: shared-citer wedge count via grouped sorted arrays (i < j ⟺ a < b)
+    // s1: shared-citer wedge count via grouped sorted arrays (i < j ⟺ a < b).
+    // Uncapped = the exact oracle mode ONLY: one aggregation row buffers a
+    // whole pivot out-list, so a hub makes that row arbitrarily large —
+    // warn loudly rather than OOM an executor at scale.
+    if (maxPivotDegree == Int.MaxValue)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "simrank2TopK: running UNCAPPED (maxPivotDegree=Int.MaxValue) — set " +
+          "maxPivotDegree (the Dean-Henzinger hub valve) for any at-scale run")
     val piv =
       if (maxPivotDegree == Int.MaxValue) ina
       else {

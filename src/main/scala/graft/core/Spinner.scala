@@ -57,7 +57,8 @@ object Spinner {
     // place — return the empty (vid, part) frame instead of NPE on a null sum
     val totalRow = deg.agg(sum("deg")).collect()(0)
     if (totalRow.isNullAt(0)) {
-      deg.unpersist(blocking = false)
+      // release the freshly cut sym too — the normal epilogue's discipline
+      deg.unpersist(blocking = false); Lineage.release(sym)
       return deg.select(col(Graph.VID), lit(0).as("part")).limit(0)
     }
     val totalDeg = totalRow.getDouble(0)

@@ -209,12 +209,16 @@ object TextAnalysis {
    * 33rd/67th percentile of a prior run") as a tested path instead of
    * pinned constants.
    *
-   * `exact = true` (the verification path): the cuts are NEAREST-RANK
-   * order statistics — the floor(n/3)-th and floor(2n/3)-th smallest
-   * avg_logprob — each computed as max over a value-ordered
-   * `limit(k)` (TakeOrdered: per-partition heaps + a k-row driver merge,
-   * no global sort; deterministic regardless of tie order because the
-   * max of the k smallest VALUES is the k-th order statistic).
+   * `exact = true`: the cuts are NEAREST-RANK order statistics — the
+   * floor(n/3)-th and floor(2n/3)-th smallest avg_logprob — computed
+   * DISTRIBUTED via [[graft.core.Ranking.globalRank]] (range repartition +
+   * per-partition windows + a broadcast prefix-sum of partition totals)
+   * and one conditional-max aggregate over the ranked rows: no global
+   * sort, no single-point k-row heap, no task ever holds more than its
+   * sort range — the exact path scales as far as the sketch path does.
+   * Deterministic regardless of tie placement because the value at global
+   * rank k−1 under any total order extending value order IS the k-th
+   * order statistic.
    * Nearest-rank rather than interpolated percentile on purpose: the cut
    * is then one of the rounded-6 scores itself, so any engine comparing
    * the same doubles buckets identically — interpolation arithmetic
@@ -243,13 +247,14 @@ object TextAnalysis {
     val cuts =
       if (exact) {
         val n = scored.count()
-        require(2 * n / 3 <= Int.MaxValue,
-          s"exact terciles rank past Int.MaxValue at n=$n docs — " +
-            "use exact = false (the approx_percentile sketch path) at this scale")
-        def orderStat(k: Long, name: String) =
-          scored.orderBy("avg_logprob").limit(k.toInt)
-            .agg(max("avg_logprob").as(name))
-        orderStat(n / 3, "c33").crossJoin(orderStat(2 * n / 3, "c67"))
+        // 0-based global value rank; rank k−1 holds the k-th smallest.
+        // n < 3 ⇒ the target ranks are −1 ⇒ no match ⇒ null cuts (the
+        // documented degenerate-corpus behavior).
+        val ranked = graft.core.Ranking.globalRank(scored,
+          Seq(col("avg_logprob"), col(idCol)), "__r")
+        ranked.agg(
+          max(when(col("__r") === lit(n / 3 - 1), col("avg_logprob"))).as("c33"),
+          max(when(col("__r") === lit(2 * n / 3 - 1), col("avg_logprob"))).as("c67"))
       } else
         scored.agg(
           round(approx_percentile(col("avg_logprob"), lit(0.33), lit(10000)), 6).as("c33"),
