@@ -188,6 +188,100 @@ object Bench {
 
   private val HeadlinePasses = 3
 
+  /** Text-side 10× scaling leg (the dedup/ANN/curation analog of the graph
+   * side's RMAT s22 leg): the signature pass, the exact candidate+verify
+   * pair join, the full canonicalization chain, and DSIR importance
+   * scoring, each at the sf corpus AND at a deterministic 10× replica
+   * corpus, interleaved, best-of-N per (query, scale). `observed_growth` =
+   * best_10x / best_1x: linear scaling reads ~10, quadratic would read
+   * ~100 — the sub-quadratic evidence for the text family. */
+  private val TextScaling = Seq("q_minhash_sig", "q_ngram_jaccard",
+    "q_dedup_cluster", "q_dsir")
+  private val TextScalingPasses = 2
+  private val TextScalingFactor = 10
+
+  /** The 10× corpus: replica k ∈ 0..9 of every sf document; k = 0 is the
+   * document verbatim, k > 0 prefixes every whitespace token with "r{k}" —
+   * replicas are structurally identical to the source corpus but
+   * vocabulary-disjoint, so each replica reproduces the generator's
+   * planted near-dup density in its own vocabulary and the pair-graph
+   * output grows linearly with the corpus instead of exploding
+   * combinatorially inside replica cliques (which would measure output
+   * size, not algorithm scaling). Deterministic: pure column algebra over
+   * the driver-generated fixture. */
+  private def buildTextCorpus10x(s: SparkSession, sfDir: String, path: String): Long = {
+    import org.apache.spark.sql.functions._
+    val out = s"$path/documents.parquet"
+    if (!new java.io.File(out + "/_SUCCESS").exists()) {
+      s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("*"),
+          explode(sequence(lit(0), lit(TextScalingFactor - 1))).as("rep"))
+        .select(
+          (col("doc_id") * TextScalingFactor + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text")).otherwise(
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("r"), col("rep"), lit("$1")))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out).count()
+  }
+
+  /** Run the text scaling leg inside the (already warm) headline session;
+   * returns (fullJson, compactJson). Passes interleave the two scales so a
+   * host-throttle phase cannot land entirely on one side of the ratio;
+   * every run is probe-bracketed for the audit trail, best-of over all
+   * runs as everywhere else. */
+  private[graft] def textScalingLeg(s: SparkSession, sfDir: String): (String, String) = {
+    import org.apache.spark.sql.functions._
+    // path keyed by the SOURCE dir: the 10x corpus of sf0.01 must never be
+    // served to an sf0.1 leg (the _SUCCESS cache is per-source)
+    val path10x = "/tmp/graft_bench_text10x_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val n1 = s.read.parquet(s"$sfDir/documents.parquet").count()
+    val n10 = buildTextCorpus10x(s, sfDir, path10x)
+    val acc = scala.collection.mutable
+      .Map[(String, String), Vector[(Double, Double, Double)]]()
+      .withDefaultValue(Vector.empty)
+    var pb = hostProbeMs()
+    for (_ <- 1 to TextScalingPasses;
+         (lbl, dir) <- Seq("1x" -> sfDir, "10x" -> path10x);
+         q <- TextScaling) {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(q)(s, dir).count(); true }
+        catch { case _: Throwable => false }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val pa = hostProbeMs()
+      acc((q, lbl)) :+= ((sec, pb, pa)); pb = pa
+    }
+    def best(q: String, lbl: String): Double = {
+      val valid = acc((q, lbl)).filter(_._1 >= 0)
+      if (valid.isEmpty) -1.0 else valid.map(_._1).min
+    }
+    val qjson = TextScaling.map { q =>
+      val b1 = best(q, "1x"); val b10 = best(q, "10x")
+      val growth = if (b1 > 0 && b10 > 0) b10 / b1 else -1.0
+      f""""$q":{"sec_1x":$b1%.3f,"sec_10x":$b10%.3f,"observed_growth":$growth%.2f}"""
+    }.mkString(",")
+    val runsJson = TextScaling.flatMap { q => Seq("1x", "10x").map { lbl =>
+      "\"" + q + "_" + lbl + "\":" +
+        acc((q, lbl)).map(v => f"[${v._1}%.3f,${v._2}%.0f,${v._3}%.0f]")
+          .mkString("[", ",", "]")
+    }}.mkString("{", ",", "}")
+    val growthCompact = TextScaling.map { q =>
+      val b1 = best(q, "1x"); val b10 = best(q, "10x")
+      f""""$q":${if (b1 > 0 && b10 > 0) b10 / b1 else -1.0}%.2f"""
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"docs_1x":$n1,"docs_10x":$n10,""" +
+        f""""corpus_growth":${n10.toDouble / n1}%.1f,""" +
+        s""""construction":"replica k of each sf doc, k=0 verbatim, k>0 every token prefixed r{k} -- vocabulary-disjoint replicas preserve per-replica near-dup density (growth measures the algorithm, not output explosion)",""" +
+        s""""queries":{$qjson},"runs_sec_probeB_probeA":$runsJson}"""
+    (full, s"""{"docs_1x":$n1,"docs_10x":$n10,"observed_growth":$growthCompact}""")
+  }
+
   /** `parts` defaults to `cores` for the headline-query part; the scaling
    * legs pass a FIXED count instead — on a real cluster the partitioning is
    * a property of the DATA (sized so a partition fits executor memory) and
@@ -423,6 +517,10 @@ object Bench {
     // iterations-to-convergence per algorithm (north-rule metric), recorded
     // by the query lambdas via MetricsLedger during the passes above
     val steps = graft.core.MetricsLedger.snapshot
+    // text-side 10× scaling leg in the same warm session (object doc at
+    // [[TextScaling]]); runs before the RMAT write so the corpus build and
+    // the leg share the headline session's page-cache warmth
+    val (textScalingJson, textScalingCompact) = textScalingLeg(s1, sfDir)
     // scaling graph: RMAT scale 22, ef 16 ≈ 67M edges — per-superstep
     // compute/shuffle must dominate the fixed per-job overhead, or the
     // two-parallelism comparison measures the scheduler, not the engine
@@ -502,6 +600,7 @@ object Bench {
         s""""query_runs":$qruns,"query_quiet_runs":$qquiet,""" +
         f""""headline_quiet_floor_ms":${headFloor * QuietFactor}%.0f,""" +
         s""""supersteps":$stepsJson,"sf":"$sfDir",""" +
+        s""""text_scaling":$textScalingJson,""" +
         s""""scaling":$scalingJson,"scaling_compute_bound_leg":$computeLegJson}"""
     // full record to the file first (driver-parseable without scraping the
     // sbt logger), then stdout
@@ -523,6 +622,7 @@ object Bench {
         s""""queries":$qsCompact,""" +
         s""""queries_note":"slowest 15 of ${results.size} by best-of-$HeadlinePasses; full per-query bests + run/probe distributions in bench_out.json (committed)",""" +
         s""""supersteps":$stepsJson,""" +
+        s""""text_scaling":$textScalingCompact,""" +
         s""""scaling":${legCompactJson(8, 32, r8, r32, triad)},""" +
         s""""scaling_compute_bound_leg":${legCompactJson(2, 8, r2, r8, triad)}}"""
     println(compact)

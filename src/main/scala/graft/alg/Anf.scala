@@ -23,60 +23,71 @@ import graft.core.{Adjacency, Graph, Lineage, StepResult, Superstep}
  * whose state is V × m small registers no matter the graph — the only
  * O(V²)-free way to an effective-diameter number on a 10^11-edge crawl.
  *
- * Spark-first shape (no UDFs, everything codegen'd):
- *  - registers are m primitive INT columns r0..r{m-1} on the O(V) state —
- *    NOT an array column — so the per-superstep scatter is a plain
- *    groupBy(dst).agg(max(r0), ..., max(r{m-1})) with full map-side partial
- *    aggregation: the shuffle after the explode carries at most
- *    (distinct dst per task) × m ints, the exact outbox-combine shape every
- *    other superstep kernel here uses (an array column would force a
- *    collect_list-style aggregate that buffers whole neighbor lists).
+ * Spark-first shape (no UDFs):
+ *  - registers are ONE `array<tinyint>` column of m bytes on the O(V)
+ *    state (ρ ≤ 33 fits a byte), so the per-superstep scatter is
+ *    groupBy(dst).agg([[graft.functions.RegisterMax]]) — a bounded
+ *    m-byte-buffer typed aggregate with full map-side partial aggregation
+ *    (the TopKStructs outbox-combine shape): each shuffled message is
+ *    ~80 B instead of the 64 × 8 B UnsafeRow slots the previous
+ *    one-INT-column-per-register layout paid, a ~6× per-edge message cut
+ *    (the round-4 VERDICT polish item). The register-wise state merge is
+ *    a codegen'd `zip_with(_, _, greatest)`.
  *  - register init is pure column algebra: bucket j = xxhash64(vid) mod m,
  *    and ρ = 33 - bit_length(w) for a second 32-bit hash w, with
  *    bit_length(w) = length(bin(w)) (bin() prints without leading zeros).
  *  - the per-round N(h) probe reads the freshly cut state (cut-before-probe
- *    — the step plan executes once per superstep, `Superstep` contract).
+ *    — the step plan executes once per superstep, `Superstep` contract);
+ *    the estimator is an index-ordered `aggregate` fold over the register
+ *    array, term-for-term the same left-to-right sum as the previous
+ *    per-column reduce, so estimates are bit-identical to the old layout.
  *
  * Determinism: xxhash64 with fixed column inputs — same data, same
  * estimates, every run and every engine.
  */
 object Anf {
 
-  /** (vid, r0..r{m-1}) initial registers: bucket + rank from two
-   * independent hashes of the vertex id; the second hash folds to 32 bits
-   * so bin(w) has ≤ 32 digits and ρ ≤ 33 fits any register. */
-  private def initRegisters(verts: DataFrame, m: Int, regs: Seq[String]): DataFrame = {
+  /** (vid, regs: array<tinyint>[m]) initial registers: bucket + rank from
+   * two independent hashes of the vertex id; the second hash folds to 32
+   * bits so bin(w) has ≤ 32 digits and ρ ≤ 33 fits a byte. */
+  private def initRegisters(verts: DataFrame, m: Int): DataFrame = {
     val j = pmod(xxhash64(col(Graph.VID)), lit(m.toLong))
     val w = pmod(xxhash64(col(Graph.VID), lit(1L)), lit(4294967296L))
     val rho = when(w === 0, lit(33)).otherwise(lit(33) - length(bin(w)))
-    verts.select(
-      col(Graph.VID) +: regs.zipWithIndex.map { case (c, i) =>
-        when(j === i, rho).otherwise(lit(0)).cast("int").as(c)
-      }: _*)
+    verts.select(col(Graph.VID),
+      array((0 until m).map(i =>
+        when(j === i, rho).otherwise(lit(0)).cast("byte")): _*).as("regs"))
   }
 
   /** One scatter: per vertex, the register-wise max over its in-edges'
-   * sources (each vertex offers its registers to its out-neighbors), named
-   * `m_r*`; max() partial-aggregates map-side (outbox combine). */
-  private def scatterMax(adj: DataFrame, state: DataFrame, regs: Seq[String]): DataFrame =
+   * sources (each vertex offers its registers to its out-neighbors) as the
+   * bounded-buffer [[graft.functions.RegisterMax]] aggregate — m-byte
+   * messages, map-side partial aggregation (outbox combine). */
+  private def scatterMax(adj: DataFrame, state: DataFrame, m: Int): DataFrame =
     adj.join(state.hint("shuffle_hash"), adj(Graph.SRC) === state(Graph.VID))
-      .select(explode(col("nbrs")).as(Graph.VID) +: regs.map(col): _*)
+      .select(explode(col("nbrs")).as(Graph.VID), col("regs"))
       .groupBy(Graph.VID)
-      .agg(max(regs.head).as(s"m_${regs.head}"),
-        regs.tail.map(c => max(c).as(s"m_$c")): _*)
+      .agg(graft.functions.RegisterMax.max(col("regs"), m).as("m_regs"))
 
-  /** Register merge after the scatter join: greatest(own, scattered-or-0)
-   * per register (the ball contains the previous ball). */
-  private def mergeExprs(regs: Seq[String]): Seq[Column] =
-    regs.map(c => greatest(col(c), coalesce(col(s"m_$c"), lit(0))).as(c))
+  /** Register merge after the scatter join: elementwise
+   * greatest(own, scattered) (the ball contains the previous ball); a
+   * vertex with no in-messages keeps its own registers. */
+  private def mergedRegs: Column =
+    when(col("m_regs").isNull, col("regs"))
+      .otherwise(zip_with(col("regs"), col("m_regs"),
+        (a, b) => greatest(a, b))).as("regs")
 
-  /** HLL estimate of |B(v,h)| from one row's registers (raw estimator +
-   * linear-counting small-range correction, Flajolet et al. 2007). */
-  private def estimator(m: Int, regs: Seq[String]): Column = {
+  /** HLL estimate of |B(v,h)| from one row's register array (raw estimator
+   * + linear-counting small-range correction, Flajolet et al. 2007).
+   * Index-ordered aggregate folds — the same left-to-right sums as the
+   * previous per-column reduce, so estimates are layout-invariant. */
+  private def estimator(m: Int): Column = {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val zInv = regs.map(c => pow(lit(2.0), -col(c))).reduce(_ + _)
+    val zInv = aggregate(col("regs"), lit(0.0),
+      (acc, r) => acc + pow(lit(2.0), -r))
     val rawE = lit(alpha * m * m) / zInv
-    val zeros = regs.map(c => when(col(c) === 0, 1).otherwise(0)).reduce(_ + _)
+    val zeros = aggregate(col("regs"), lit(0),
+      (acc, r) => acc + when(r === lit(0), 1).otherwise(0))
     when(rawE <= lit(2.5 * m) && zeros > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(rawE)
   }
@@ -116,9 +127,8 @@ object Anf {
     val v = verts.count()
     val e = e0.count()
 
-    val regs = (0 until m).map(i => s"r$i")
-    val init = initRegisters(verts, m, regs)
-    val ballEst: Column = estimator(m, regs)
+    val init = initRegisters(verts, m)
+    val ballEst: Column = estimator(m)
 
     val history = ListBuffer[Double](v.toDouble) // N(0) = |V|, exact
     // resumed run: history must stay labeled by the TRUE hop index, or the
@@ -143,9 +153,9 @@ object Anf {
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxH, checkpointDir = checkpointDir,
         resume = resume, verbose = verbose)) { (state, _) =>
-      val msgs = scatterMax(adj, state, regs)
+      val msgs = scatterMax(adj, state, m)
       val next = state.join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
-        .select(col(Graph.VID) +: mergeExprs(regs): _*)
+        .select(col(Graph.VID), mergedRegs)
       val cut = Lineage.cut(next)
       val nh = cut.agg(sum(ballEst)).collect()(0).getDouble(0)
       val prev = history.last
@@ -239,24 +249,23 @@ object Anf {
     val adj = Adjacency.build(e0).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     val e = e0.count()
-    val regs = (0 until m).map(i => s"r$i")
-    val est = estimator(m, regs)
-    val init0 = initRegisters(Graph.vertices(e0), m, regs)
+    val est = estimator(m)
+    val init0 = initRegisters(Graph.vertices(e0), m)
     // prev = |B(v,0)| estimate (the singleton baseline absorbs the HLL
     // small-range bias: only GROWTH beyond it earns harmonic mass)
-    val init = init0.select(col(Graph.VID) +: regs.map(col) :+
-      est.as("prev") :+ lit(0.0).as("hc"): _*)
+    val init = init0.select(col(Graph.VID), col("regs"),
+      est.as("prev"), lit(0.0).as("hc"))
 
     var lastTotal = Double.NaN
     val outcome = Superstep.run(init,
       Superstep.Config(maxSupersteps = maxH, verbose = verbose)) { (state, h) =>
-      val msgs = scatterMax(adj, state, regs)
+      val msgs = scatterMax(adj, state, m)
       val merged = state.join(msgs.hint("shuffle_hash"), Seq(Graph.VID), "left")
-        .select(col(Graph.VID) +: mergeExprs(regs) :+ col("prev") :+ col("hc"): _*)
-        .select(col(Graph.VID) +: regs.map(col) :+ est.as("__est") :+
-          col("prev") :+ col("hc"): _*)
-        .select(col(Graph.VID) +: regs.map(col) :+ col("__est").as("prev") :+
-          (col("hc") + greatest(col("__est") - col("prev"), lit(0.0)) / h).as("hc"): _*)
+        .select(col(Graph.VID), mergedRegs, col("prev"), col("hc"))
+        .select(col(Graph.VID), col("regs"), est.as("__est"),
+          col("prev"), col("hc"))
+        .select(col(Graph.VID), col("regs"), col("__est").as("prev"),
+          (col("hc") + greatest(col("__est") - col("prev"), lit(0.0)) / h).as("hc"))
       val cut = Lineage.cut(merged)
       // fixpoint probe on the cut state (registers are monotone, so an
       // unchanged estimate total means every later hop is a no-op); one
