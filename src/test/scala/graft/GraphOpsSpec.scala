@@ -172,6 +172,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(f.mean_luma - expected) < 1e-9, s"${f.mean_luma} vs $expected")
   }
 
+  test("multimodal: REAL JPEG decode via javax.imageio — hand oracle + mixed corpus") {
+    import graft.mm.MediaRow
+    // uniform gray 128: a solid block is DC-only, so JPEG reproduces it
+    // within quantizer error — a tight hand oracle despite lossiness
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(MediaRow(9L, "image", bos.toByteArray, "jpeg", 0, 0, 0L)).toDS()
+    val f = Multimodal.imageFeatures(media).collect()(0)
+    assert(f.width == 8 && f.height == 8)
+    assert(math.abs(f.mean_luma - 128.0) <= 2.0, f.mean_luma.toString)
+
+    // mixed corpus: PNG twins match their raw8 originals EXACTLY (lossless,
+    // and gray (v,v,v) survives the BT.601 integer luma as v); JPEG twins
+    // approximate them (per-block DC preservation bounds the mean shift)
+    val raw = Multimodal.syntheticMedia(spark, 20, seed = 3)
+    val mixed = Multimodal.syntheticMediaMixed(spark, 20, seed = 3)
+    val byFmt = mixed.collect().groupBy(_.format).view.mapValues(_.length).toMap
+    assert(byFmt == Map("raw8" -> 12, "png" -> 4, "jpeg" -> 4), byFmt.toString)
+    val fr = Multimodal.imageFeatures(raw).collect().map(x => x.media_id -> x).toMap
+    Multimodal.imageFeatures(mixed).collect().foreach { g =>
+      val r = fr(g.media_id)
+      assert(g.width == r.width && g.height == r.height, s"dims of ${g.media_id}")
+      if (g.media_id % 5 == 3)
+        assert(math.abs(g.mean_luma - r.mean_luma) < 8.0, s"jpeg twin ${g.media_id}")
+      else
+        assert(g.mean_luma == r.mean_luma, s"lossless twin ${g.media_id}")
+    }
+  }
+
   test("multimodal: REAL WAV decode via javax.sound.sampled matches a hand oracle") {
     import graft.mm.MediaRow
     // known 16-bit signed mono samples, wrapped into a WAV container in-test

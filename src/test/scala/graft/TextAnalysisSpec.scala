@@ -22,11 +22,12 @@ class TextAnalysisSpec extends SparkSpec {
   test("unigram LM scoring: hand-computed log-probs, buckets, threshold edge") {
     // corpus counts: a=2, b=2, c=1 of 5 total
     val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
-    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val lpA = r9(math.log(2.0 / 5)); val lpC = r9(math.log(1.0 / 5))
-    val want0 = r6((lpA * 3) / 3)          // -0.916291
-    val want1 = r6((lpA + lpC) / 2)        // -1.262864
+    // nano-unit discipline: lp_nano = floor(ln(cnt/total)·1e9),
+    // avg = Σnano / (n·1e9)
+    def nano(x: Double) = math.floor(math.log(x) * 1e9)
+    val lpA = nano(2.0 / 5); val lpC = nano(1.0 / 5)
+    val want0 = (lpA * 3) / (3 * 1e9)      // ≈ -0.916290732
+    val want1 = (lpA + lpC) / (2 * 1e9)    // ≈ -1.263142423
     // headThreshold exactly at doc 0's score: >= is head (boundary is head)
     val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text",
         headThreshold = want0, middleThreshold = -1.0)
