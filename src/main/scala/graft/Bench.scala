@@ -431,7 +431,10 @@ object Bench {
    * in multi-minute phases and a single session's leg can land entirely
    * inside one (observed round 3: the same binary recorded 2→8
    * "efficiency" 0.769–1.203 purely by phase while the union stayed put). */
-  private val UnionBestGteps = Map(2 -> 0.00623, 8 -> 0.02164, 32 -> 0.04482)
+  // round-5 session 18 RAISED all three per-level bests (was 2c 0.00623 /
+  // 8c 0.02164 / 32c 0.04482 from the ten round-3 sessions — provenance in
+  // BASELINE.md "Cross-session per-leg bests")
+  private val UnionBestGteps = Map(2 -> 0.00690, 8 -> 0.02276, 32 -> 0.04661)
 
   private def fmtRuns(runs: Seq[ScalingRun]): String =
     runs.map(r => f"${r.gteps}%.5f").mkString("[", ",", "]")
