@@ -247,9 +247,12 @@ object Bench {
    * runs as everywhere else. */
   private[graft] def textScalingLeg(s: SparkSession, sfDir: String): (String, String) = {
     import org.apache.spark.sql.functions._
-    // paths keyed by the SOURCE dir: the 10x corpus of sf0.01 must never be
-    // served to an sf0.1 leg (the _SUCCESS cache is per-source)
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // paths keyed by the SOURCE dir AND its fixture's mtime+size: the 10x
+    // corpus of sf0.01 must never be served to an sf0.1 leg, and a
+    // REGENERATED fixture must never be served its predecessor's cache
+    val srcFile = new java.io.File(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_${srcFile.lastModified}_${srcFile.length}"
     val path10x = s"/tmp/graft_bench_text10x_$tag"
     // the 1x leg reads a REWRITTEN copy of the sf documents with the same
     // 32-file layout as the 10x corpus: the driver fixture is a single
@@ -282,7 +285,11 @@ object Bench {
       if (!skip) {
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(q)(s, dir).count(); true }
-          catch { case _: Throwable => false }
+          catch { case e: Throwable =>
+            // surface the failure (the -1 sentinel in the JSON is easy to
+            // miss); the run still completes so the rest of the leg records
+            System.err.println(s"[text-scaling] $q @ $lbl FAILED: $e"); false
+          }
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         val pa = hostProbeMs()
         acc((q, lbl)) :+= ((sec, pb, pa)); pb = pa
@@ -309,7 +316,7 @@ object Bench {
     val full =
       s"""{"docs_1x":$n1,"docs_10x":$n10,""" +
         f""""corpus_growth":${n10.toDouble / n1}%.1f,""" +
-        s""""construction":"replica k of each sf doc, k=0 verbatim, k>0 every token prefixed r{k} -- vocabulary-disjoint replicas preserve per-replica near-dup density (growth measures the algorithm, not output explosion)",""" +
+        s""""construction":"replica k of each sf doc, k=0 verbatim, k>0 Caesar-rotated by k (both cases) -- char-n-gram-disjoint replicas preserve per-replica near-dup density (growth measures the algorithm, not output explosion)",""" +
         s""""queries":{$qjson},"runs_sec_probeB_probeA":$runsJson}"""
     (full, s"""{"docs_1x":$n1,"docs_10x":$n10,"observed_growth":$growthCompact}""")
   }
@@ -345,6 +352,12 @@ object Bench {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Shared session for the builder-side probe tools (QueryTime,
+   * TextScalingProbe): exactly the headline-bench session config, so the
+   * probes measure under the SAME knobs as the bench they reproduce
+   * (three hand-copied config blocks previously risked drifting). */
+  def probeSession(cores: Int = 32): SparkSession = session(cores)
 
   /** One full 5-round PageRank over a pre-generated edge parquet; returns
    * (gteps, algExecSec). GTEPS = E*5 / alg_exec — Totem's exec_rate over

@@ -1220,7 +1220,11 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      // rank cast long: DuckDB ROW_NUMBER is BIGINT (the q_ann_topk/
+      // q_margin_mine discipline for every oracle-checked rank column)
       graft.ann.Ann.lshTopK(emb, queries, k = 10, planes = 8)
+        .select(col("query_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
     }),
     "q_ann_lsh_recall" -> ((s, dir) => {
       // recorded recall floor for the LSH path: per query, |LSH∩brute|/k
@@ -1858,12 +1862,14 @@ object SparkEntry {
         JOIN sig c ON c.tbl = q.tbl AND c.sig = xor(q.sig, CAST(m.m AS BIGINT))
         WHERE q.vec_id < 5),
       scored AS (
+        -- COALESCE(…, 0.0) mirrors Ann.cosine's zero-norm guard: an
+        -- all-zero vector scores 0.0, not NaN (0/0), on both engines
         SELECT cand.query_id, cand.vec_id,
-          ROUND(
+          COALESCE(ROUND(
             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
-            (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
-          , 9) AS sim
+            NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                   sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 0.0)
+          , 9), 0.0) AS sim
         FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
         JOIN embeddings e ON e.vec_id = cand.vec_id)
       SELECT query_id, vec_id, sim, rank FROM (

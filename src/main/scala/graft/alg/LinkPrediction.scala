@@ -63,7 +63,9 @@ object LinkPrediction {
 
   /** Top-`k` non-adjacent pairs by Jaccard overlap, carrying the whole
    * measure family — (a, b, common_n, jaccard, adamic_adar, resource_alloc,
-   * pref_attach), floats rounded to 6 digits, ties by (a, b):
+   * pref_attach), each float an exact integer floor-unit sum divided once
+   * by a power of ten (nano for jaccard/resource_alloc, micro for
+   * adamic_adar — see [[aaMicroTerm]]), ties by (a, b):
    *
    *   jaccard(a,b)        = common_n / (deg(a) + deg(b) - common_n)
    *   resource_alloc(a,b) = Σ_{w ∈ N(a)∩N(b)} 1 / deg(w)

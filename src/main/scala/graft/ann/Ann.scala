@@ -90,9 +90,16 @@ object Ann {
   }
 
   /** O(1) driver probe for the uniform embedding dimension (reads one row;
-   * the plane matrix literal needs the width up front). */
-  private def probeDim(df: DataFrame, vec: String): Int =
-    df.select(size(col(vec)).as("d")).head().getInt(0)
+   * the plane matrix literal needs the width up front). An empty corpus or
+   * a null first vector degrades to width 1 — every downstream join is
+   * empty/null-bucketed anyway, matching the old lazy API's empty result
+   * instead of throwing at plan-construction time. A corpus whose rows
+   * disagree with the probed width nulls the zip_with dot and scores sign
+   * bit 0 (callers own dimension uniformity, as [[cosine]] already does). */
+  private def probeDim(df: DataFrame, vec: String): Int = {
+    val r = df.select(size(col(vec)).as("d")).head(1)
+    if (r.isEmpty || r(0).isNullAt(0)) 1 else math.max(1, r(0).getInt(0))
+  }
 
   /** All XOR masks of Hamming weight ≤ radius over `planes` bits — the
    * multi-probe sequence (probe count: Σ_{r≤radius} C(planes, r), a

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Builder-side micro-bench: time named SparkEntry queries on an sf dir,
   * interleaved passes, best-of-N — the headline-bench methodology without
@@ -12,15 +11,7 @@ object QueryTime {
     val sfDir = args(0)
     val names = args(1).split(',').toSeq
     val passes = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", graft.Bench.localDir)
-      .config("spark.sql.inMemoryColumnarStorage.batchSize", "512")
-      .config("spark.network.timeout", "600s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Bench.probeSession(32)
     // shared JIT/parquet warm-up (the Bench main's discipline)
     try graft.SparkEntry.queries("q_out_degree")(spark, sfDir).count()
     catch { case _: Throwable => }
