@@ -168,22 +168,29 @@ object Explain {
       .groupBy("cid", "pos").agg(round(avg(col("col")), 6).as("v"))
       .explain("formatted")
 
-    println("==== node2vec step: candidates ⋈ membership probe -> per-walk windows ====")
-    // mirrors one RandomWalk.biasedWalks step: O(frontier out-edges) rows,
-    // membership = edge-keyed shuffle-hash left join, per-walk window sums
+    println("==== node2vec step: candidates ⋈ grouped-adjacency probe -> per-walk windows ====")
+    // mirrors one RandomWalk.biasedWalks step (round-5 shape): candidates
+    // from the edge join, membership via array_contains against the
+    // persisted grouped SORTED out-list — the V-row build side arrives in
+    // its groupBy's own HashPartitioning, so the step's only exchange on
+    // the membership side is the candidate stream's shuffle on `prev`
     val e2 = edges.select("src", "dst").distinct().repartition(col("src")).persist()
     e2.count()
     // the real loop's state is a Lineage.cut frame (fresh attributes);
     // mirror that here or the membership probe is an ambiguous self-join
     val st = graft.core.Lineage.cut(Graph.vertices(edges).limit(500)
       .select(col("vid").as("walk"), col("vid").as("prev"), col("vid")))
-    val member = e2.select(col("src").as("p2"), col("dst").as("n2"), lit(true).as("isadj"))
+    val grouped2 = e2.groupBy(col("src").as("p2"))
+      .agg(sort_array(collect_list(col("dst"))).as("pns")).persist()
+    grouped2.count()
     val cand2 = st.hint("shuffle_hash").join(e2, st("vid") === e2("src"))
       .select(col("walk"), col("prev"), st("vid").as("cur"), e2("dst").as("nbr"))
     val weighted = cand2.hint("shuffle_hash")
-      .join(member, cand2("prev") === member("p2") && cand2("nbr") === member("n2"), "left")
-      .withColumn("wt", when(col("nbr") === col("prev"), lit(0.5))
-        .when(col("isadj"), lit(1.0)).otherwise(lit(2.0)))
+      .join(grouped2, cand2("prev") === grouped2("p2"), "left")
+      .select(col("walk"), col("prev"), col("cur"), col("nbr"),
+        when(col("nbr") === col("prev"), lit(0.5))
+          .when(array_contains(col("pns"), col("nbr")), lit(1.0))
+          .otherwise(lit(2.0)).as("wt"))
     val hN = conv(substring(md5(concat_ws("|", lit(42L), col("walk"), lit(1))), 1, 12),
       16, 10).cast("long")
     weighted
